@@ -172,6 +172,7 @@ class Config:
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
     profile: bool = False
+    occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
 
     def __post_init__(self) -> None:
         if self.O:
@@ -198,10 +199,10 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     reference CLI surface (booleans as store_true, lists as nargs)."""
     for f in dataclasses.fields(Config):
         name = f.name
-        flag = f"--{name}" if len(name) > 2 or name in ("w", "h", "W", "H") else f"-{name}"
         if name in ("O", "O2"):
             parser.add_argument(f"-{name}", action="store_true")
             continue
+        flag = f"--{name}"
         default = f.default if f.default is not dataclasses.MISSING else f.default_factory()
         if f.type in ("bool", bool):
             if default is True:

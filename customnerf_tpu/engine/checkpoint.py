@@ -1,0 +1,127 @@
+"""Checkpoint I/O preserving the reference on-disk contract.
+
+Same format family as the reference (SURVEY.md §5.4): a single ``.pth``
+torch-pickle dict with keys ``epoch``, ``global_step``, ``stats``, ``model``
+(+ ``optimizer`` when full), files named ``df_ep{epoch:04d}.pth`` under
+``{workspace}/checkpoints``, a 5-deep ring buffer that spares ``*0.pth``
+(reference ``nerf/utils_init_nerf.py:779-900``).
+
+``model`` is a flat ``{dotted/path: torch.Tensor}`` dict of the JAX param
+pytree, so reference-style tooling (torch.load, key inspection) works
+unchanged.  Optimizer state is stored as the same flat-numpy encoding plus a
+treedef pickle — JAX-side only.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", jax.tree_util.tree_map(np.asarray, _to_builtin(tree)))
+    return flat
+
+
+def _to_builtin(tree):
+    """FrozenDict → dict recursively."""
+    if hasattr(tree, "items"):
+        return {k: _to_builtin(v) for k, v in tree.items()}
+    return tree
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+def save_checkpoint(
+    path: str,
+    params,
+    epoch: int,
+    global_step: int,
+    stats: dict,
+    opt_state=None,
+    extra: Optional[dict] = None,
+):
+    state: Dict[str, Any] = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "stats": stats,
+    }
+    state["model"] = {
+        k: torch.from_numpy(np.asarray(v).copy()) for k, v in _flatten(params).items()
+    }
+    if opt_state is not None:
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        state["optimizer"] = {
+            "leaves": [np.asarray(l) for l in leaves],
+            "treedef": pickle.dumps(treedef),
+        }
+    if extra:
+        state.update(extra)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    torch.save(state, path)
+    return path
+
+
+def load_checkpoint(path: str, opt_state_template=None) -> Tuple[dict, dict]:
+    """Returns (params_tree, meta).  meta has epoch/global_step/stats and
+    optionally 'opt_state' restored against the template's treedef."""
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" not in ckpt:
+        params = _unflatten({k: v.numpy() for k, v in ckpt.items()})
+        return params, {}
+    params = _unflatten({k: np.asarray(v) for k, v in ckpt["model"].items()})
+    meta = {
+        "epoch": ckpt.get("epoch", 0),
+        "global_step": ckpt.get("global_step", 0),
+        "stats": ckpt.get("stats", {}),
+    }
+    if "optimizer" in ckpt and opt_state_template is not None:
+        try:
+            treedef = pickle.loads(ckpt["optimizer"]["treedef"])
+            leaves = [jnp.asarray(l) for l in ckpt["optimizer"]["leaves"]]
+            meta["opt_state"] = jax.tree_util.tree_unflatten(treedef, leaves)
+        except Exception as e:  # mismatched optimizer config → warn, keep fresh
+            print(f"[WARN] failed to restore optimizer state: {e}")
+    for k in ("mean_count", "mean_density"):
+        if k in ckpt:
+            meta[k] = ckpt[k]
+    return params, meta
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Lexicographically last .pth (reference utils_init_nerf.py:837-845)."""
+    cands = sorted(glob.glob(os.path.join(ckpt_dir, "*.pth")))
+    return cands[-1] if cands else None
+
+
+def prune_ring(stats: dict, ckpt_dir: str, max_keep: int = 5):
+    """Ring-buffer pruning sparing *0.pth (utils_init_nerf.py:806-815)."""
+    while len(stats.get("checkpoints", [])) > max_keep:
+        old = os.path.join(ckpt_dir, stats["checkpoints"].pop(0))
+        if os.path.exists(old) and not old.endswith("0.pth"):
+            os.remove(old)

@@ -1,0 +1,514 @@
+"""Trainer: reconstruction + (LGIE editing) loops, eval strips, test videos.
+
+Functional equivalent of the reference ``Trainer_Nerf``
+(``nerf/utils_init_nerf.py:26-900``) restructured TPU-first: the whole train
+step — render, losses, grads, Adam update — is ONE jitted function; data is
+device-resident; there is no GradScaler (bf16 needs none; the ``fp16`` flag
+selects a bfloat16 compute policy instead, documented deviation).
+
+Reference semantics preserved:
+  * Adam(betas=(0.9, 0.99), eps=1e-15) with the grid encoder at lr×10
+    (main.py:182, network_grid.py:196-206).
+  * LR decay ``0.1^min(step/iters, 1)`` applied **per step** (main.py:189-191).
+  * reconstruction loss = train_rgb·MSE(rgb) + train_conf·MSE(render_mask)
+    (utils_init_nerf.py:224-238); optional ``--batch_rays`` subsampling.
+  * eval strip [gt | rgb | depth | gt_mask | pred_mask | fg | bg] →
+    ``workspace/validation/{name}.png`` (utils_init_nerf.py:416-429, 745-752),
+    ≤4 images unless ``--val_all_images``.
+  * test renders per-frame PNGs + 30 fps mp4 (utils_init_nerf.py:520-569).
+  * checkpoint cadence: at train start and twice per eval interval
+    (utils_init_nerf.py:492-506); policy flags scratch/latest/latest_model/path
+    + ``--editing_from`` (utils_init_nerf.py:136-150).
+  * editing mode (``--pretrained``): frozen deep-copy of the field, render
+    cache keyed by image path, SDS + keep_bg losses
+    (utils_init_nerf.py:152-172, 243-265, 353-394).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from customnerf_tpu.engine import checkpoint as ckpt_io
+from customnerf_tpu.models.field import FieldConfig, NeRFField
+from customnerf_tpu.models.renderer import RenderSettings, render_rays
+from customnerf_tpu.ops.grid import GridSpec
+from customnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def build_field(opt) -> NeRFField:
+    cfg = FieldConfig(
+        bound=opt.bound,
+        grid=GridSpec(
+            input_dim=3,
+            num_levels=opt.grid_levels,
+            level_dim=opt.grid_level_dim,
+            base_resolution=opt.grid_base_resolution,
+            log2_hashmap_size=opt.log2_hashmap_size,
+            desired_resolution=opt.desired_resolution,
+            gridtype=opt.grid_type,
+        ),
+        train_conf=bool(opt.train_conf),
+        conf_channels=2 if opt.keyword2 is not None else 1,
+        detach_mask_from_field=opt.detach_mask_from_field,
+        mask_no_dir=opt.mask_no_dir,
+        mask_no_dir_nodetach=opt.mask_no_dir_nodetach,
+        use_bias=opt.mlp_bias,
+        compute_dtype="bfloat16" if opt.fp16 else "float32",
+    )
+    return NeRFField(cfg)
+
+
+def render_settings(opt) -> RenderSettings:
+    return RenderSettings(
+        bound=opt.bound,
+        min_near=opt.min_near,
+        num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
+        train_conf=bool(opt.train_conf),
+        soft_mask=opt.soft_mask,
+        conf_thr=opt.conf_thr,
+        detach_bg=opt.detach_bg,
+        detach_mask_from_field=opt.detach_mask_from_field,
+    )
+
+
+class Trainer:
+    def __init__(self, name, opt, field: Optional[NeRFField] = None,
+                 guidance=None, workspace: Optional[str] = None,
+                 use_checkpoint: Optional[str] = None):
+        self.name = name
+        self.opt = opt
+        self.workspace = workspace or opt.workspace
+        self.guidance = guidance
+        self.field = field or build_field(opt)
+        self.settings = render_settings(opt)
+        self.mesh = make_mesh(opt.mesh_shape)
+
+        # --- rng ---------------------------------------------------------
+        # key-split order per step (documented RNG discipline, SURVEY.md §7):
+        #   root → (epoch_key per step) → [perturb/pdf key, bg-color key,
+        #   LGIE gate key, timestep key, noise key]
+        self.root_key = jax.random.PRNGKey(opt.seed)
+        self._np_rng = np.random.RandomState(opt.seed)
+
+        # --- params ------------------------------------------------------
+        self.params = self.field.init_params(jax.random.PRNGKey(opt.seed))
+
+        # --- optimizer: per-group lr, per-step decay -----------------------
+        base_lr, iters = opt.lr, opt.iters
+
+        def sched(scale):
+            return lambda step: scale * base_lr * (0.1 ** jnp.minimum(step / iters, 1.0))
+
+        def label_tree(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "grid"
+                if any(getattr(p, "key", None) == "grid_table" for p in path)
+                else "mlp",
+                params,
+            )
+
+        def adam(lr_fn):
+            tx = optax.chain(
+                optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+                optax.scale_by_learning_rate(lr_fn),
+            )
+            if opt.weight_decay:
+                tx = optax.chain(optax.add_decayed_weights(opt.weight_decay), tx)
+            return tx
+
+        self.tx = optax.multi_transform(
+            {"grid": adam(sched(10.0)), "mlp": adam(sched(1.0))}, label_tree
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.lr_fn = sched(1.0)
+
+        # --- occupancy grid (the -O / cuda_ray fast path) --------------------
+        self.occ_state = None
+        if opt.cuda_ray:
+            from customnerf_tpu.ops.occupancy import init_state
+            self.occ_state = init_state(opt.cascade,
+                                        grid_size=opt.occ_grid_size)
+
+        # --- bookkeeping ---------------------------------------------------
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [],
+                      "checkpoints": [], "best_result": None}
+        self.pt_dict = {}  # editing: cached frozen-model renders per img_path
+
+        os.makedirs(self.workspace, exist_ok=True)
+        self.ckpt_path = os.path.join(self.workspace, "checkpoints")
+        os.makedirs(self.ckpt_path, exist_ok=True)
+        self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        self._log_ptr = open(self.log_path, "a+")
+        self._writer = None
+
+        self.log(f"[INFO] Trainer: {name} | {time.strftime('%Y-%m-%d_%H-%M-%S')} | "
+                 f"{jax.devices()[0].platform} | "
+                 f"{'bf16' if opt.fp16 else 'fp32'} | {self.workspace}")
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        self.log(f"[INFO] #parameters: {n_params}")
+
+        # --- checkpoint policy (utils_init_nerf.py:136-150) -----------------
+        use_checkpoint = use_checkpoint if use_checkpoint is not None else opt.use_ckpt
+        if opt.editing_from:
+            self.log(f"[INFO] Loading {opt.editing_from} ...")
+            self._load(opt.editing_from, model_only=True)
+        if use_checkpoint == "scratch":
+            self.log("[INFO] Training from scratch ...")
+        elif use_checkpoint == "latest":
+            path = ckpt_io.latest_checkpoint(self.ckpt_path)
+            if path:
+                self.log(f"[INFO] Latest checkpoint is {path}")
+                self._load(path)
+            else:
+                self.log("[WARN] No checkpoint found, model randomly initialized.")
+        elif use_checkpoint == "latest_model":
+            path = ckpt_io.latest_checkpoint(self.ckpt_path)
+            if path:
+                self._load(path, model_only=True)
+        else:
+            self.log(f"[INFO] Loading {use_checkpoint} ...")
+            self._load(use_checkpoint)
+
+        # --- editing mode: frozen pretrained copy + guidance ----------------
+        self.params_pretrained = self.params
+        if opt.pretrained:
+            source = opt.editing_from or opt.use_ckpt
+            if source and os.path.exists(str(source)):
+                pre, _ = ckpt_io.load_checkpoint(source)
+                self.params_pretrained = jax.tree_util.tree_map(jnp.asarray, pre)
+            else:
+                self.params_pretrained = jax.tree_util.tree_map(
+                    lambda x: x, self.params)
+            self.params_pretrained = jax.lax.stop_gradient(self.params_pretrained)
+            self.log("[INFO] loaded pretrained (frozen) model.")
+
+        if self.mesh is not None:
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ log
+    def log(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg)
+        if self._log_ptr:
+            print(msg, file=self._log_ptr)
+            self._log_ptr.flush()
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            try:
+                import tensorboardX
+                self._writer = tensorboardX.SummaryWriter(
+                    os.path.join(self.workspace, "run", self.name))
+            except Exception:
+                self._writer = False
+        return self._writer or None
+
+    # --------------------------------------------------- occupancy refresh
+    def update_extra_state(self):
+        """Refresh the occupancy grid (reference update_extra_state,
+        renderer.py:1659-1717; cadence utils_init_nerf.py:602-607)."""
+        from customnerf_tpu.ops.occupancy import update_grid
+        field, params, opt = self.field, self.params, self.opt
+        if "occ_update" not in self._compiled:
+            @jax.jit
+            def occ_update(state, params, key):
+                density_fn = lambda pts: field.apply(params, pts,
+                                                     method=field.density)
+                return update_grid(state, density_fn, opt.bound,
+                                   opt.density_thresh, key)
+            self._compiled["occ_update"] = occ_update
+        self.root_key, key = jax.random.split(self.root_key)
+        self.occ_state = self._compiled["occ_update"](self.occ_state, params, key)
+
+    def _render_fn(self):
+        """Bound renderer closure: dense two-pass or occupancy fast path."""
+        opt, s, field = self.opt, self.settings, self.field
+        if opt.cuda_ray:
+            from customnerf_tpu.models.renderer import render_rays_fast
+
+            def render(p, occ, o, d, key, train, perturb, bg_color=None):
+                return render_rays_fast(
+                    field, p, o, d, occ, key, s,
+                    density_thresh=opt.density_thresh,
+                    n_coarse=max(opt.num_steps + opt.upsample_steps, 2) * 2,
+                    n_keep=opt.num_steps + opt.upsample_steps,
+                    train=train, perturb=perturb, bg_color=bg_color)
+        else:
+            def render(p, occ, o, d, key, train, perturb, bg_color=None):
+                return render_rays(field, p, o, d, key, s, train=train,
+                                   perturb=perturb, bg_color=bg_color)
+        return render
+
+    # ----------------------------------------------------------- train step
+    def _pretrain_step_fn(self):
+        """Build the jitted reconstruction step (render+loss+grad+update)."""
+        opt, tx = self.opt, self.tx
+        batch_rays = int(opt.batch_rays)
+        render = self._render_fn()
+
+        @jax.jit
+        def step(params, opt_state, occ, rgbs, mask, rays_o, rays_d, key):
+            key_sel, key_render = jax.random.split(key)
+            if batch_rays:
+                n = rays_o.shape[0]
+                sel = jax.random.permutation(key_sel, n)[:batch_rays]
+                rgbs, mask = rgbs[sel], mask[sel]
+                rays_o, rays_d = rays_o[sel], rays_d[sel]
+
+            def loss_fn(p):
+                out = render(p, occ, rays_o, rays_d, key_render,
+                             train=True, perturb=True)
+                loss_c = opt.train_rgb * jnp.mean((out["image"] - rgbs) ** 2)
+                loss = loss_c
+                aux = {"loss_c": loss_c}
+                if opt.train_conf:
+                    loss_m = opt.train_conf * jnp.mean(
+                        (out["render_mask"][..., 0] - mask) ** 2)
+                    loss = loss + loss_m
+                    aux["loss_m"] = loss_m
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return step
+
+    def train_step(self, batch, key):
+        if self.opt.pretrained:
+            return self.train_step_editing(batch, key)
+        if "pretrain" not in self._compiled:
+            self._compiled["pretrain"] = self._pretrain_step_fn()
+        step = self._compiled["pretrain"]
+        rays_o, rays_d = batch.rays_o, batch.rays_d
+        rgbs = batch.rgbs.reshape(-1, 3)
+        mask = batch.mask.reshape(-1)
+        if self.mesh is not None and not self.opt.batch_rays:
+            rgbs, mask, rays_o, rays_d = shard_batch(
+                self.mesh, (rgbs, mask, rays_o, rays_d))
+        self.params, self.opt_state, loss, aux = step(
+            self.params, self.opt_state, self.occ_state, rgbs, mask,
+            rays_o, rays_d, key)
+        return loss, {k: float(v) for k, v in aux.items()}
+
+    def train_step_editing(self, batch, key):
+        from customnerf_tpu.engine.editing import editing_step
+        return editing_step(self, batch, key)
+
+    # ----------------------------------------------------------- train loop
+    def train(self, train_loader, valid_loader, max_epochs: int):
+        start_t = time.time()
+        self.save_checkpoint(full=True)
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            self.train_one_epoch(train_loader)
+            if epoch % self.opt.eval_interval == 0:
+                self.save_checkpoint(full=True)
+                self.evaluate_one_epoch(valid_loader)
+                self.save_checkpoint(full=True)
+        self.log(f"[INFO] training takes {(time.time() - start_t) / 60:.4f} minutes.")
+
+    def train_one_epoch(self, loader):
+        lr_now = float(self.lr_fn(self.global_step))
+        self.log(f"==> Start Training {self.workspace} Epoch {self.epoch}, "
+                 f"lr={lr_now:.6f} ...")
+        total_loss, local_step = 0.0, 0
+        for batch in loader:
+            if (self.opt.cuda_ray
+                    and self.global_step % self.opt.update_extra_interval == 0):
+                self.update_extra_state()
+            self.global_step += 1
+            local_step += 1
+            self.root_key, key = jax.random.split(self.root_key)
+            loss, loss_dict = self.train_step(batch, key)
+            loss_val = float(sum(loss_dict.values()))
+            total_loss += loss_val
+            if self.writer:
+                self.writer.add_scalar("train/loss", loss_val, self.global_step)
+                self.writer.add_scalar("train/lr", float(self.lr_fn(self.global_step)),
+                                       self.global_step)
+        avg = total_loss / max(local_step, 1)
+        self.stats["loss"].append(avg)
+        self.log(f"==> Finished Epoch {self.epoch}. average_loss {avg}")
+
+    # --------------------------------------------------------------- render
+    def render_image(self, rays_o, rays_d, perturb=False, bg_color=None,
+                     params=None):
+        """Full-frame render, chunked over rays to bound memory (the staged
+        path; reference --max_ray_batch, renderer.py:1749-1765)."""
+        params = self.params if params is None else params
+        chunk = int(self.opt.max_ray_batch)
+        N = rays_o.shape[0]
+        if "render_chunk" not in self._compiled:
+            render = self._render_fn()
+
+            @partial(jax.jit, static_argnames=("perturb",))
+            def render_chunk(p, occ, o, d, key, perturb=False):
+                out = render(p, occ, o, d, key, train=False, perturb=perturb)
+                keep = {k: out[k] for k in
+                        ("image", "depth", "weights_sum") if k in out}
+                if "render_mask" in out:
+                    keep["render_mask"] = out["render_mask"]
+                for side in ("fg", "bg"):
+                    if side in out:
+                        keep[side] = {"image": out[side]["image"],
+                                      "depth": out[side]["depth"],
+                                      "weights_sum": out[side]["weights_sum"]}
+                return keep
+
+            self._compiled["render_chunk"] = render_chunk
+        render_chunk = self._compiled["render_chunk"]
+
+        outs = []
+        pad = (-N) % chunk
+        if pad:
+            rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
+            rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
+        for i in range(0, N + pad, chunk):
+            self.root_key, key = jax.random.split(self.root_key)
+            outs.append(render_chunk(params, self.occ_state,
+                                     rays_o[i:i + chunk],
+                                     rays_d[i:i + chunk], key, perturb=perturb))
+        merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        merged = jax.tree_util.tree_map(lambda x: x[:N], merged)
+        return merged
+
+    # ----------------------------------------------------------------- eval
+    def evaluate_one_epoch(self, loader, name=None):
+        self.log(f"++> Evaluate {self.workspace} at epoch {self.epoch} ...")
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        import cv2
+
+        strips = []
+        for i, batch in enumerate(loader):
+            if not self.opt.val_all_images and i >= 4:
+                break
+            H, W = batch.H, batch.W
+            out = self.render_image(batch.rays_o, batch.rays_d)
+            gt = np.asarray(batch.rgbs).reshape(H, W, 3)
+            rgb = np.asarray(out["image"]).reshape(H, W, 3)
+            depth = np.asarray(out["depth"]).reshape(H, W, 1).repeat(3, -1)
+            ims = [gt, rgb, depth]
+            if self.opt.train_conf and "render_mask" in out:
+                gt_mask = np.asarray(batch.mask).reshape(H, W, 1).repeat(3, -1)
+                pm = np.asarray(out["render_mask"]).reshape(H, W, -1)
+                pred_mask = pm.mean(-1, keepdims=True).repeat(3, -1)
+                fg = np.asarray(out["fg"]["image"]).reshape(H, W, 3)
+                bg = np.asarray(out["bg"]["image"]).reshape(H, W, 3)
+                ims += [gt_mask, pred_mask, fg, bg]
+            strip = np.concatenate(ims, axis=1)
+            if self.opt.val_all_images:
+                path = os.path.join(self.workspace, "validation_all", f"{i + 1}.png")
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                cv2.imwrite(path, cv2.cvtColor(
+                    (np.clip(strip, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+            else:
+                strips.append(strip)
+
+        if strips:
+            path = os.path.join(self.workspace, "validation", f"{name}.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            full = np.concatenate(strips, axis=0)
+            cv2.imwrite(path, cv2.cvtColor(
+                (np.clip(full, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+            self.log(f"++> saved validation strip to {path}")
+        self.stats["valid_loss"].append(0.0)
+        self.stats["results"].append(0.0)
+
+    def evaluate(self, loader, name=None):
+        self.evaluate_one_epoch(loader, name)
+
+    # ----------------------------------------------------------------- test
+    def test(self, loader, save_path=None, name=None, write_video=True,
+             split=None):
+        import cv2
+
+        save_path = save_path or os.path.join(self.workspace, "results")
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        if split:
+            name = f"{name}_{split}"
+        os.makedirs(os.path.join(save_path, name), exist_ok=True)
+        self.log(f"==> Start Test, save results to {save_path}")
+
+        all_preds = []
+        for i, batch in enumerate(loader):
+            H, W = batch.H, batch.W
+            out = self.render_image(batch.rays_o, batch.rays_d)
+            pred = np.asarray(out["image"]).reshape(H, W, 3)
+            pred8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(save_path, name, f"{i:03d}.png"),
+                        cv2.cvtColor(pred8, cv2.COLOR_RGB2BGR))
+            all_preds.append(pred8)
+
+        if write_video and all_preds:
+            video_path = os.path.join(save_path, f"{name}_rgb.mp4")
+            try:
+                h, w = all_preds[0].shape[:2]
+                vw = cv2.VideoWriter(video_path,
+                                     cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+                for frame in all_preds:
+                    vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                vw.release()
+            except Exception as e:
+                self.log(f"[WARN] mp4 write failed ({e}); PNGs saved.")
+        self.log("==> Finished Test.")
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, name=None, full=True):
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        file_name = f"{name}.pth"
+        self.stats["checkpoints"].append(file_name)
+        ckpt_io.prune_ring(self.stats, self.ckpt_path, self.opt.max_keep_ckpt)
+        extra = None
+        if self.occ_state is not None:
+            # parity with the reference's cuda_ray extras (§5.4)
+            extra = {"mean_density": float(self.occ_state.mean_density),
+                     "mean_count": 0}
+        ckpt_io.save_checkpoint(
+            os.path.join(self.ckpt_path, file_name),
+            self.params,
+            self.epoch,
+            self.global_step,
+            self.stats,
+            opt_state=self.opt_state if full else None,
+            extra=extra,
+        )
+
+    def _load(self, path, model_only=False):
+        if not path or not os.path.exists(str(path)):
+            self.log(f"[WARN] checkpoint {path} not found.")
+            return
+        params, meta = ckpt_io.load_checkpoint(str(path), self.opt_state)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.log("[INFO] loaded model.")
+        if model_only or not meta:
+            return
+        self.epoch = meta.get("epoch", 0)
+        self.global_step = meta.get("global_step", 0)
+        if meta.get("stats"):
+            self.stats = meta["stats"]
+        if "opt_state" in meta:
+            self.opt_state = meta["opt_state"]
+            self.log("[INFO] loaded optimizer.")
+        self.log(f"[INFO] load at epoch {self.epoch}, global step {self.global_step}")
+
+
+def max_epochs_for(opt, loader_len: int) -> int:
+    return int(math.ceil(opt.iters / max(loader_len, 1)))

@@ -1,0 +1,159 @@
+"""Score Distillation Sampling guidance with the reference's exact semantics.
+
+Equivalent of ``StableDiffusion`` in the reference (``nerf/sd.py:34-154``),
+restructured so the UNet ε-prediction and the SDS gradient construction are
+one jittable function — the render → VAE → UNet → SDS-grad chain never leaves
+the chip.
+
+Exact-semantics traps preserved (SURVEY.md §7):
+  * t ∈ [0.02·T, max_ratio·T] (sd.py:67-69); ``--stage_time`` halves max_step
+    after iters/2 (sd.py:120-131); t ×= t_ratio then truncated to int
+    (sd.py:132).
+  * **text-anchored CFG**: ε̂ = ε_text + cfg·(ε_text − ε_uncond) — NOT the
+    standard uncond-anchored form (sd.py:142-143), cfg default 100.
+  * grad = (1−ᾱ_t)·(ε̂ − ε)·lambda_sd, nan_to_num, injected as
+    0.5·MSE(latents, (latents−grad).detach(), reduction=sum) (sd.py:145-152).
+
+Weights: random-init unless ``--sd_weights`` points at a local torch SD
+checkpoint directory (converted by ``guidance/weights.py``) — the reference
+equally depends on an external download; the artifact, not the code, is the
+external part.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from customnerf_tpu.guidance.scheduler import DDPMSchedule
+from customnerf_tpu.guidance.text import TextEncoder
+from customnerf_tpu.guidance.unet import UNet2DCondition, UNetConfig
+from customnerf_tpu.guidance.vae import AutoencoderKL, VAEConfig
+
+
+class StableDiffusionGuidance:
+    def __init__(self, opt, dtype: str = "bfloat16"):
+        self.opt = opt
+        sd_version = opt.sd_version
+        cross_dim = 1024 if sd_version.startswith("2") else 768
+
+        if jax.devices()[0].platform == "cpu":
+            dtype = "float32"
+        self.unet = UNet2DCondition(UNetConfig(cross_attention_dim=cross_dim,
+                                               dtype=dtype))
+        self.vae = AutoencoderKL(VAEConfig(dtype=dtype))
+        self.text_encoder = TextEncoder(sd_version, weights_dir=opt.sd_weights,
+                                        seed=opt.seed)
+
+        key = jax.random.PRNGKey(opt.seed)
+        k_unet, k_vae = jax.random.split(key)
+        latents = jnp.zeros((1, 8, 8, 4))
+        ctx = jnp.zeros((1, 77, cross_dim))
+        self.unet_params = self.unet.init(k_unet, latents, jnp.zeros((1,), jnp.int32), ctx)
+        imgs = jnp.zeros((1, 64, 64, 3))
+        self.vae_params = self.vae.init({"params": k_vae}, imgs, k_vae)
+
+        self.cd_kv = None  # Custom Diffusion adapter table (use_cd)
+        if opt.use_cd is not None and not opt.test:
+            from customnerf_tpu.guidance.custom_diffusion import load_cd_artifacts
+            self.cd_kv, token_embeds = load_cd_artifacts(opt.use_cd, self.text_encoder)
+            if token_embeds:
+                print(f"[INFO] loaded Custom Diffusion adapters + "
+                      f"{list(token_embeds)} from {opt.use_cd}")
+
+        if opt.sd_weights:
+            from customnerf_tpu.guidance.weights import load_sd_weights
+            load_sd_weights(self, opt.sd_weights)
+        else:
+            print("[WARN] no --sd_weights given: SD runs with random weights "
+                  "(framework-functional; provide a local checkpoint for real edits).")
+
+        self.scheduler = DDPMSchedule()
+        self.num_train_timesteps = self.scheduler.num_train_timesteps
+        self.min_step = int(self.num_train_timesteps * 0.02)
+        self.max_step = int(self.num_train_timesteps * opt.max_ratio)
+        self.alphas = self.scheduler.alphas_cumprod
+        self.system = None
+        self._jit_cache = {}
+
+    # ---------------------------------------------------------------- text
+    def get_text_embeds(self, prompt, negative_prompt):
+        return self.text_encoder.get_text_embeds(prompt, negative_prompt)
+
+    # ---------------------------------------------------------------- image
+    def encode_imgs_fn(self):
+        """Returns a pure fn(latents←images) usable inside a larger jit."""
+        vae, params = self.vae, self.vae_params
+
+        def encode(images_nhwc, key):
+            imgs = 2.0 * images_nhwc - 1.0
+            return vae.apply(params, imgs, key, method=vae.encode)
+
+        return encode
+
+    def encode_imgs(self, images_nhwc, key):
+        return self.encode_imgs_fn()(images_nhwc, key)
+
+    # ----------------------------------------------------------------- SDS
+    def sds_loss_fn(self):
+        """Pure fn(latents, text_embeddings, t, noise_key) → (loss, aux).
+
+        Differentiable in ``latents`` only — UNet runs under stop_gradient,
+        exactly like the reference's no_grad UNet + detached target.
+        """
+        unet, unet_params = self.unet, self.unet_params
+        alphas = self.alphas
+        lambda_sd = self.opt.lambda_sd
+        guidance_scale = self.opt.cfg
+        scheduler = self.scheduler
+        cd_kv = self.cd_kv
+
+        def loss_fn(latents, text_embeddings, t, key):
+            noise = jax.random.normal(key, latents.shape, dtype=latents.dtype)
+            latents_noisy = scheduler.add_noise(latents, noise, t)
+            latent_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
+            tt = jnp.broadcast_to(t, (latent_in.shape[0],))
+            noise_pred = unet.apply(unet_params, jax.lax.stop_gradient(latent_in),
+                                    tt, text_embeddings, cd_kv=cd_kv)
+            noise_uncond, noise_text = jnp.split(noise_pred, 2, axis=0)
+            # text-anchored CFG (sd.py:142-143)
+            noise_pred = noise_text + guidance_scale * (noise_text - noise_uncond)
+
+            w = 1.0 - alphas[t]
+            grad = w * (noise_pred - noise) * lambda_sd
+            grad = jnp.nan_to_num(grad)
+            target = jax.lax.stop_gradient(latents - grad)
+            loss = 0.5 * jnp.sum((latents - target) ** 2)
+            return loss, {"loss_sds": loss}
+
+        return loss_fn
+
+    def sample_timestep(self, key, global_step: Optional[int] = None,
+                        t_ratio: float = 1.0):
+        """Reference t sampling incl. stage_time (sd.py:120-132).  Host-side
+        (one scalar per step)."""
+        min_step, max_step = self.min_step, self.max_step
+        if self.opt.stage_time and global_step is not None:
+            if global_step > self.opt.iters / 2:
+                max_step = int(max_step * 0.5)
+        t = int(jax.random.randint(key, (), min_step, max_step + 1))
+        return int(t * t_ratio)
+
+    def set_system(self, system):
+        self.system = system
+
+    # ------------------------------------------------- reference-like API
+    def train_step(self, latents, text_embeddings, key, t_ratio: float = 1.0,
+                   system=None, **_):
+        """Host-facing convenience mirroring sd.py:115-154 (the editing
+        trainer uses the fused jitted path in engine/editing.py instead)."""
+        system = system or self.system
+        k_t, k_n = jax.random.split(key)
+        t = self.sample_timestep(
+            k_t, getattr(system, "global_step", None), t_ratio)
+        loss_fn = self.sds_loss_fn()
+        loss, aux = loss_fn(latents, text_embeddings, jnp.asarray(t), k_n)
+        return loss, {k: float(v) for k, v in aux.items()}

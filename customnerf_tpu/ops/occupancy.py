@@ -1,0 +1,166 @@
+"""Occupancy grid: multi-cascade density grid + TPU-native empty-space skip.
+
+Replaces the reference CUDA occupancy machinery (``nerf/renderer.py:1658-1717``
+``update_extra_state`` + the two-pass compaction march
+``raymarching/src/raymarching.cu:312-480``) with a static-shape design:
+
+  * state: ``density_grid`` [CAS, 128³] fp32 with EMA ``max(0.95·g, new)``
+    refresh from jittered cell-center density queries, occupancy threshold
+    ``min(mean_density, density_thresh)`` (renderer.py:1700-1708), plus a
+    packed uint8 bitfield kept for checkpoint parity.
+  * march: instead of ragged atomic compaction, every ray gets ``n_coarse``
+    stratified candidates, a cheap occupancy gather marks live ones, and a
+    masked stable sort compacts the first ``n_keep`` live samples into a
+    fixed [N, n_keep] slab (overflow drops samples — the reference's CUDA
+    kernel drops on buffer overflow too, raymarching.cu:416).  The expensive
+    field MLP then runs only on the slab.  Deterministic, no atomics
+    (SURVEY.md §5.2 improvement note).
+
+Cascades follow instant-ngp: cascade c spans [-2^c, 2^c]; a point lands in
+the smallest cascade containing it (``mip_from_pos``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GRID_SIZE = 128
+
+
+@dataclass
+class OccupancyState:
+    """Pytree of grid state (grid_size is static aux data)."""
+
+    density_grid: jnp.ndarray   # [CAS, grid_size**3] fp32
+    bitfield: jnp.ndarray       # [CAS * grid_size**3 // 8] uint8 (parity)
+    mean_density: jnp.ndarray   # scalar f32
+    grid_size: int = GRID_SIZE
+    iter_density: int = 0
+
+
+def init_state(cascade: int, grid_size: int = GRID_SIZE) -> OccupancyState:
+    n = grid_size ** 3
+    return OccupancyState(
+        density_grid=jnp.zeros((cascade, n), jnp.float32),
+        bitfield=jnp.zeros((cascade * n // 8,), jnp.uint8),
+        mean_density=jnp.zeros((), jnp.float32),
+        grid_size=grid_size,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    OccupancyState,
+    lambda s: ((s.density_grid, s.bitfield, s.mean_density),
+               (s.grid_size, s.iter_density)),
+    lambda aux, kids: OccupancyState(*kids, grid_size=aux[0],
+                                     iter_density=aux[1]),
+)
+
+
+def _cell_centers(cascade_idx: int, bound: float, key, grid_size: int):
+    """Jittered world-space centers of all cells in one cascade [G³, 3]."""
+    g = grid_size
+    idx = jnp.arange(g ** 3)
+    z = idx % g
+    y = (idx // g) % g
+    x = idx // (g * g)
+    coords = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)  # [G³,3]
+    half = min(2.0 ** cascade_idx, bound)
+    cell = 2.0 * half / g
+    jitter = jax.random.uniform(key, coords.shape, minval=0.0, maxval=1.0)
+    return (coords + jitter) * cell - half
+
+
+def packbits(grid: jnp.ndarray, thresh) -> jnp.ndarray:
+    """Grid [CAS, G³] → bitfield [CAS·G³/8] uint8, LSB-first per byte
+    (matching the CUDA packbits bit order, raymarching.cu:268-289)."""
+    occ = (grid > thresh).reshape(-1, 8).astype(jnp.uint8)
+    shifts = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(occ * shifts, axis=-1).astype(jnp.uint8)
+
+
+def update_grid(state: OccupancyState, density_fn, bound: float,
+                density_thresh: float, key, decay: float = 0.95,
+                chunk: int = 128 ** 3):
+    """One EMA refresh of all cascades (renderer.py:1659-1717 semantics:
+    full re-query with jitter, EMA max, mean over nonnegative cells)."""
+    cascade = state.density_grid.shape[0]
+    grids = []
+    for c in range(cascade):
+        key, sub = jax.random.split(key)
+        xyz = _cell_centers(c, bound, sub, state.grid_size)
+        sig = []
+        for i in range(0, xyz.shape[0], chunk):
+            sig.append(density_fn(xyz[i:i + chunk]))
+        sig = jnp.concatenate(sig)
+        grids.append(sig)
+    new = jnp.stack(grids)  # [CAS, G³]
+    grid = jnp.maximum(state.density_grid * decay, new)
+    mean_density = jnp.mean(jnp.clip(grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, density_thresh)
+    return OccupancyState(
+        density_grid=grid,
+        bitfield=packbits(grid, thresh),
+        mean_density=mean_density,
+        grid_size=state.grid_size,
+        iter_density=state.iter_density + 1,
+    )
+
+
+def occupancy_lookup(state: OccupancyState, xyz, bound: float,
+                     density_thresh: float):
+    """xyz [..., 3] → bool occupied, via the cascade each point lives in."""
+    cascade = state.density_grid.shape[0]
+    g = state.grid_size
+    ax = jnp.max(jnp.abs(xyz), axis=-1)
+    # smallest cascade c with 2^c > |x|_inf  (c = ceil(log2(ax)) clipped)
+    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(ax, 1e-8))), 0, cascade - 1)
+    mip = mip.astype(jnp.int32)
+    half = jnp.minimum(2.0 ** mip.astype(jnp.float32), bound)
+    scaled = (xyz / (2.0 * half[..., None]) + 0.5) * g
+    cell = jnp.clip(scaled.astype(jnp.int32), 0, g - 1)
+    flat = cell[..., 0] * g * g + cell[..., 1] * g + cell[..., 2]
+    dens = state.density_grid[mip, flat]
+    thresh = jnp.minimum(state.mean_density, density_thresh)
+    inside = ax <= bound
+    return (dens > thresh) & inside
+
+
+def march_rays_occupancy(
+    state: OccupancyState,
+    rays_o, rays_d,            # [N, 3]
+    nears, fars,               # [N]
+    key,
+    bound: float,
+    density_thresh: float,
+    n_coarse: int = 256,
+    n_keep: int = 64,
+    perturb: bool = False,
+):
+    """Static-shape empty-space-skipping march.
+
+    Returns (z [N, n_keep], valid [N, n_keep] bool): the first n_keep
+    occupied stratified candidates per ray, in depth order.
+    """
+    N = rays_o.shape[0]
+    u = (jnp.arange(n_coarse, dtype=jnp.float32) + 0.5) / n_coarse
+    z = nears[:, None] + (fars - nears)[:, None] * u[None, :]  # [N, T]
+    if perturb:
+        dz = (fars - nears)[:, None] / n_coarse
+        z = z + (jax.random.uniform(key, z.shape) - 0.5) * dz
+
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = occupancy_lookup(state, xyz, bound, density_thresh)  # [N, T]
+
+    # stable compaction: occupied first (depth order preserved), then rest
+    penalty = jnp.where(occ, 0, n_coarse)
+    rank = penalty + jnp.arange(n_coarse)[None, :]
+    order = jnp.argsort(rank, axis=-1)[:, :n_keep]              # [N, K]
+    z_keep = jnp.take_along_axis(z, order, axis=-1)
+    valid = jnp.take_along_axis(occ, order, axis=-1)
+    return z_keep, valid

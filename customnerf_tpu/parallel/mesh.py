@@ -1,0 +1,70 @@
+"""Device-mesh helpers: rays (and scenes) as first-class data-parallel axes.
+
+The reference's distributed story is dead DDP scaffolding
+(``nerf/utils_init_nerf.py:76-78, 709-726``; SURVEY.md §2.3).  Here data
+parallelism over the ray dimension is native: batches are sharded along a
+``data`` mesh axis with ``NamedSharding``, params are replicated, and XLA
+inserts the gradient ``psum`` over ICI on its own — no explicit comm backend
+objects (SURVEY.md §5.8 "TPU-native equivalent").
+
+The reference's serial ray *chunking* (``--max_ray_batch``, staged renderers
+renderer.py:1749-1765) maps to sharding the same axis across devices
+(SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(spec: str = "", devices=None) -> Optional[Mesh]:
+    """Build a mesh from a 'axis:count,axis:count' spec string.
+
+    '' → None (single device).  'data:8' → 1-D mesh of 8 devices.
+    'scene:2,data:4' → 2-D mesh (batched multi-edit stretch, BASELINE config 5).
+    """
+    if not spec:
+        return None
+    devices = devices if devices is not None else jax.devices()
+    axes = []
+    for part in spec.split(","):
+        name, count = part.split(":")
+        axes.append((name.strip(), int(count)))
+    total = int(np.prod([c for _, c in axes]))
+    if total > len(devices):
+        raise ValueError(f"mesh spec {spec} needs {total} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:total]).reshape([c for _, c in axes])
+    return Mesh(dev_array, axis_names=[n for n, _ in axes])
+
+
+def pad_to_multiple(x, multiple: int, axis: int = 0):
+    """Pad axis 0 so shardings divide evenly; returns (padded, orig_len)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, rem)
+    import jax.numpy as jnp
+
+    return jnp.pad(x, pad_width), n
+
+
+def shard_batch(mesh: Optional[Mesh], batch, axis_name: str = "data"):
+    """Place [N, ...] arrays sharded along the ray axis of the mesh."""
+    if mesh is None:
+        return batch
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -3,7 +3,11 @@ tests run anywhere (SURVEY.md §4 rebuild test plan)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the ambient environment exports JAX_PLATFORMS=axon (the real TPU
+# tunnel) — override unconditionally, tests must run on the CPU mesh.
+# A pytest plugin may import jax BEFORE this conftest runs, freezing the
+# env-derived config default — so also update jax.config explicitly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

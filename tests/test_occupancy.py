@@ -1,0 +1,128 @@
+"""Occupancy grid: packbits parity, lookup correctness, masked march,
+fast-path render vs dense path on an occupied scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from customnerf_tpu.ops.occupancy import (
+    GRID_SIZE,
+    OccupancyState,
+    init_state,
+    march_rays_occupancy,
+    occupancy_lookup,
+    packbits,
+    update_grid,
+)
+
+
+def test_packbits_bit_order():
+    grid = jnp.zeros((1, 16), jnp.float32).at[0, 0].set(5.0).at[0, 9].set(5.0)
+    bits = np.asarray(packbits(grid, 1.0))
+    assert bits.shape == (2,)
+    assert bits[0] == 1        # cell 0 → bit 0 of byte 0
+    assert bits[1] == 2        # cell 9 → bit 1 of byte 1
+
+
+def test_update_grid_ema_and_threshold():
+    state = init_state(cascade=1)
+
+    def density_fn(xyz):
+        # occupied ball of radius 0.5 at origin, sigma 100
+        return jnp.where(jnp.linalg.norm(xyz, axis=-1) < 0.5, 100.0, 0.0)
+
+    state = update_grid(state, density_fn, bound=1.0, density_thresh=10.0,
+                        key=jax.random.PRNGKey(0))
+    g = np.asarray(state.density_grid)
+    assert g.max() == 100.0
+    frac = (g > 10).mean()
+    # ball volume fraction ≈ (4/3 π 0.5³)/8 ≈ 6.5%
+    assert 0.03 < frac < 0.12
+    # EMA decay: re-update with zero density keeps 95%
+    state2 = update_grid(state, lambda x: jnp.zeros(x.shape[:-1]), bound=1.0,
+                         density_thresh=10.0, key=jax.random.PRNGKey(1))
+    assert np.isclose(np.asarray(state2.density_grid).max(), 95.0)
+
+
+def test_occupancy_lookup_inside_outside():
+    state = init_state(cascade=1)
+    # mark the cell containing the origin-ish region occupied
+    g = GRID_SIZE
+    grid = np.zeros((1, g ** 3), np.float32)
+    # fill center 8³ cells
+    for x in range(g // 2 - 4, g // 2 + 4):
+        for y in range(g // 2 - 4, g // 2 + 4):
+            for z in range(g // 2 - 4, g // 2 + 4):
+                grid[0, x * g * g + y * g + z] = 50.0
+    state = OccupancyState(density_grid=jnp.asarray(grid),
+                           bitfield=state.bitfield,
+                           mean_density=jnp.float32(0.01))
+    occ = occupancy_lookup(state, jnp.asarray([[0.0, 0.0, 0.0],
+                                               [0.9, 0.9, 0.9],
+                                               [5.0, 0.0, 0.0]]),
+                           bound=1.0, density_thresh=10.0)
+    assert np.asarray(occ).tolist() == [True, False, False]
+
+
+def test_march_compacts_occupied_first():
+    state = init_state(cascade=1)
+    g = GRID_SIZE
+    grid = np.zeros((1, g ** 3), np.float32)
+    for x in range(g // 2 - 8, g // 2 + 8):
+        for y in range(g // 2 - 8, g // 2 + 8):
+            for z in range(g // 2 - 8, g // 2 + 8):
+                grid[0, x * g * g + y * g + z] = 50.0
+    state = OccupancyState(density_grid=jnp.asarray(grid),
+                           bitfield=state.bitfield,
+                           mean_density=jnp.float32(0.01))
+
+    o = jnp.asarray([[0.0, 0.0, -0.99]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    nears = jnp.asarray([0.01])
+    fars = jnp.asarray([2.0])
+    z, valid = march_rays_occupancy(state, o, d, nears, fars,
+                                    jax.random.PRNGKey(0), bound=1.0,
+                                    density_thresh=10.0, n_coarse=128,
+                                    n_keep=32)
+    v = np.asarray(valid[0])
+    zz = np.asarray(z[0])
+    assert v.any()
+    # valid samples come first and are sorted by depth
+    n_valid = v.sum()
+    assert v[:n_valid].all() and not v[n_valid:].any()
+    assert np.all(np.diff(zz[:n_valid]) >= 0)
+    # all valid samples lie in the occupied slab z∈[-0.125, 0.125]±cell
+    pts = 0.99 * 0 + (zz[:n_valid] - 0.99)  # z coordinate = -0.99 + t
+    assert np.all(np.abs(pts) < 0.2)
+
+
+def test_fast_path_matches_dense_on_fully_occupied_grid():
+    """With every cell occupied the fast path reduces to stratified dense
+    sampling → images statistically match the dense renderer."""
+    from customnerf_tpu.models.field import FieldConfig, NeRFField
+    from customnerf_tpu.models.renderer import (RenderSettings, render_rays,
+                                                render_rays_fast)
+    from customnerf_tpu.ops.grid import GridSpec
+
+    grid = GridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                    log2_hashmap_size=10, desired_resolution=32,
+                    gridtype="tiled")
+    field = NeRFField(FieldConfig(grid=grid, bound=1.0))
+    params = field.init_params(jax.random.PRNGKey(0))
+    s = RenderSettings(bound=1.0, num_steps=32, upsample_steps=0,
+                       soft_mask=True)
+
+    occ = init_state(cascade=1)
+    occ = OccupancyState(
+        density_grid=jnp.full_like(occ.density_grid, 1e3),
+        bitfield=occ.bitfield, mean_density=jnp.float32(1e3))
+
+    o = jnp.asarray(np.tile([[0, 0, -0.9]], (8, 1)).astype(np.float32))
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+
+    dense = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
+    fast = render_rays_fast(field, params, o, d, occ, jax.random.PRNGKey(1),
+                            s, density_thresh=10.0, n_coarse=32, n_keep=32)
+    np.testing.assert_allclose(np.asarray(fast["image"]),
+                               np.asarray(dense["image"]), atol=0.05)
+    assert "fg" in fast and "bg" in fast
