@@ -56,8 +56,9 @@ def main():
     o, d = jnp.asarray(o), jnp.asarray(d)
     target, tmask = jnp.asarray(target), jnp.asarray(tmask)
 
-    @jax.jit
-    def train_step(params, opt_state, key):
+    def one_step(carry, key):
+        params, opt_state = carry
+
         def loss_fn(p):
             out = render_rays(field, p, o, d, key, settings, train=True,
                               perturb=True)
@@ -67,21 +68,25 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    key = jax.random.PRNGKey(0)
-    # warmup / compile
-    for _ in range(2):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, sub)
-    loss.block_until_ready()
+        return (optax.apply_updates(params, updates), opt_state), loss
 
     iters = 20 if platform != "cpu" else 3
+
+    @jax.jit
+    def train_many(params, opt_state, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, iters)
+    # warmup / compile
+    params, opt_state, losses = train_many(params, opt_state, keys)
+    losses.block_until_ready()
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, sub)
-    loss.block_until_ready()
+    params, opt_state, losses = train_many(params, opt_state, keys)
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt

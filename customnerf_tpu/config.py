@@ -173,6 +173,7 @@ class Config:
     max_keep_ckpt: int = 5
     profile: bool = False
     occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
+    steps_per_dispatch: int = 1  # lax.scan this many train steps per jit call
 
     def __post_init__(self) -> None:
         if self.O:

@@ -166,6 +166,28 @@ class NerfstudioProvider(Provider):
             self.W = [self.W[i] for i in idxs]
             self.n_images = 4
 
+        # fast path: batched multithreaded native ray generation (pinhole)
+        if not self.if_distortion:
+            from customnerf_tpu.utils.native import generate_rays_pinhole
+            c2ws = []
+            for i in range(self.n_images):
+                c2w = np.asarray(self.camera_to_world[i], np.float32)
+                if self.R_path:
+                    R1, t1 = c2w[:3, :3], c2w[:3, 3:]
+                    opt_mat = self.pose_optimizer[i]
+                    c2w = np.concatenate(
+                        [R1 @ opt_mat[:3, :3], t1 + R1 @ opt_mat[:3, 3:]], -1)
+                c2ws.append(c2w)
+            origins, dirs = generate_rays_pinhole(
+                np.stack(c2ws), H, W, fx, fy, cx, cy,
+                lvl=float(self.resolution_level))
+            self.origins = list(origins)
+            self.directions = list(dirs)
+            if self.split == "test":
+                self.images = self.images[:1]
+                self.masks = self.masks[:1]
+            return
+
         lvl = self.resolution_level
         tx = np.linspace(0, W * lvl - 1, W, dtype=np.float32)
         ty = np.linspace(0, H * lvl - 1, H, dtype=np.float32)

@@ -95,6 +95,17 @@ def _select_text(trainer, match_probs):
 
 
 def _build_editing_step(trainer):
+    """Three jitted programs instead of one fused graph.
+
+    The SD UNet is forward-only under SDS (reference runs it in no_grad,
+    sd.py:134-140), so dL_sds/dlatents = w·(ε̂−ε)·λ exactly.  We therefore
+    (A) forward-render to latents, (B) run the UNet ε-prediction and form the
+    latent cotangent, (C) differentiate the surrogate
+    ``sum(latents(p)·sg(cotangent)) + keep_bg·L1`` — whose params-gradient is
+    identical to the fused loss.  This keeps each XLA program small enough
+    for remote-compile backends and excludes the 860M-param UNet from the
+    autodiff graph entirely.
+    """
     opt = trainer.opt
     s = trainer.settings
     field = trainer.field
@@ -106,47 +117,101 @@ def _build_editing_step(trainer):
     ori_bg = bool(opt.ori_bg)
     lambda_sd = float(opt.lambda_sd)
 
-    @jax.jit
+    def render_to_latents(p, vae_params, rays_o, rays_d, bg_color, use_fg,
+                          H, W, k_render, k_vae):
+        out = render_rays(field, p, rays_o, rays_d, k_render, s,
+                          train=True, perturb=True, bg_color=bg_color)
+        pred_rgb = out["image"].reshape(H, W, 3)
+        pred_rgb_fg = out["fg"]["image"].reshape(H, W, 3)
+        pred_rgb_bg = out["bg"]["image"].reshape(H, W, 3)
+        pred_mask = out["render_mask"].reshape(H, W, -1)
+        img = jnp.where(use_fg > 0.5, pred_rgb_fg, pred_rgb)
+        img512 = jax.image.resize(img[None], (1, 512, 512, 3),
+                                  method="bilinear")
+        latents = encode_imgs(vae_params, img512, k_vae)
+        return latents, (pred_rgb_bg, pred_mask)
+
+    # H, W are static per dataset; build closures lazily keyed by shape
+    cache = {}
+
+    def get_programs(H, W):
+        if (H, W) in cache:
+            return cache[(H, W)]
+
+        @jax.jit
+        def prog_a(params, vae_params, rays_o, rays_d, bg_color, use_fg, key):
+            k_render, k_vae, _ = jax.random.split(key, 3)
+            latents, _ = render_to_latents(params, vae_params, rays_o, rays_d,
+                                           bg_color, use_fg, H, W,
+                                           k_render, k_vae)
+            return latents
+
+        @jax.jit
+        def prog_b(unet_params, latents, text_emb, t, key):
+            """UNet ε-prediction → latent cotangent = dL_sds/dlatents.
+
+            The SDS loss VALUE is 0.5·Σ(latents−target)² = 0.5·Σ grad²
+            (sd.py:150-152), so both come from the same quantity."""
+            _, _, k_noise = jax.random.split(key, 3)
+            grad = jax.grad(
+                lambda l: sds_loss(unet_params, l, text_emb, t, k_noise)[0]
+            )(latents)
+            loss_sds = 0.5 * jnp.sum(grad ** 2)
+            return grad, loss_sds
+
+        @jax.jit
+        def prog_c(params, opt_state, vae_params, rays_o, rays_d, gt_rgbs,
+                   bg_color, pt_rgb_bg, pt_mask, cotangent, use_fg, key):
+            k_render, k_vae, _ = jax.random.split(key, 3)
+
+            def loss_fn(p):
+                latents, (pred_rgb_bg, pred_mask) = render_to_latents(
+                    p, vae_params, rays_o, rays_d, bg_color, use_fg, H, W,
+                    k_render, k_vae)
+                aux = {}
+                loss = 0.0
+                if lambda_sd:
+                    loss_sd = jnp.sum(latents * jax.lax.stop_gradient(cotangent))
+                    loss = loss + loss_sd
+                    aux["loss_sds"] = loss_sd
+                if keep_bg:
+                    target_bg = pt_rgb_bg
+                    if ori_bg:
+                        non_edit = (pt_mask.mean(-1, keepdims=True)
+                                    + pred_mask.mean(-1, keepdims=True)) < 0.5
+                        target_bg = jnp.where(
+                            non_edit, gt_rgbs.reshape(H, W, 3), pt_rgb_bg)
+                    loss_bg = keep_bg * jnp.mean(jnp.abs(target_bg - pred_rgb_bg))
+                    loss = loss + loss_bg
+                    aux["loss_bg"] = loss_bg
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        cache[(H, W)] = (prog_a, prog_b, prog_c)
+        return cache[(H, W)]
+
     def step(params, opt_state, rays_o, rays_d, gt_rgbs, bg_color,
              pt_rgb_bg, pt_mask, text_emb, use_fg, t, key):
-        """use_fg: f32 scalar 0/1 (local branch); t: int32 scalar."""
-        k_render, k_vae, k_noise = jax.random.split(key, 3)
-        H, W = pt_rgb_bg.shape[0], pt_rgb_bg.shape[1]
-
-        def loss_fn(p):
-            out = render_rays(field, p, rays_o, rays_d, k_render, s,
-                              train=True, perturb=True, bg_color=bg_color)
-            pred_rgb = out["image"].reshape(H, W, 3)
-            pred_rgb_fg = out["fg"]["image"].reshape(H, W, 3)
-            pred_rgb_bg = out["bg"]["image"].reshape(H, W, 3)
-            pred_mask = out["render_mask"].reshape(H, W, -1)
-
-            aux = {}
-            loss = 0.0
-            if lambda_sd:
-                img = jnp.where(use_fg > 0.5, pred_rgb_fg, pred_rgb)
-                img512 = jax.image.resize(img[None], (1, 512, 512, 3),
-                                          method="bilinear")
-                latents = encode_imgs(img512, k_vae)
-                loss_sd, sd_aux = sds_loss(latents, text_emb, t, k_noise)
-                loss = loss + loss_sd
-                aux.update(sd_aux)
-
-            if keep_bg:
-                target_bg = pt_rgb_bg
-                if ori_bg:
-                    non_edit = (pt_mask.mean(-1, keepdims=True)
-                                + pred_mask.mean(-1, keepdims=True)) < 0.5
-                    target_bg = jnp.where(
-                        non_edit, gt_rgbs.reshape(H, W, 3), pt_rgb_bg)
-                loss_bg = keep_bg * jnp.mean(jnp.abs(target_bg - pred_rgb_bg))
-                loss = loss + loss_bg
-                aux["loss_bg"] = loss_bg
-            return loss, aux
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        H, W = int(pt_rgb_bg.shape[0]), int(pt_rgb_bg.shape[1])
+        prog_a, prog_b, prog_c = get_programs(H, W)
+        vae_params = guidance.vae_params
+        loss_sds = None
+        if lambda_sd:
+            latents = prog_a(params, vae_params, rays_o, rays_d, bg_color,
+                             use_fg, key)
+            cotangent, loss_sds = prog_b(guidance.unet_params, latents,
+                                         text_emb, t, key)
+        else:
+            cotangent = jnp.zeros((1, 64, 64, 4))
+        params, opt_state, loss, aux = prog_c(
+            params, opt_state, vae_params, rays_o, rays_d, gt_rgbs, bg_color,
+            pt_rgb_bg, pt_mask, cotangent, use_fg, key)
+        if loss_sds is not None:
+            aux = dict(aux, loss_sds=loss_sds)  # reference-comparable value
         return params, opt_state, loss, aux
 
     return step
@@ -196,4 +261,4 @@ def editing_step(trainer, batch, key):
         pt["pt_rgb_bg"], pt["pt_mask"], text_emb,
         jnp.float32(use_fg), jnp.int32(t), k_step,
     )
-    return loss, {k: float(v) for k, v in aux.items()}
+    return loss, aux

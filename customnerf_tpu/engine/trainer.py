@@ -237,8 +237,17 @@ class Trainer:
         self.occ_state = self._compiled["occ_update"](self.occ_state, params, key)
 
     def _render_fn(self):
-        """Bound renderer closure: dense two-pass or occupancy fast path."""
+        """Bound renderer closure: dense two-pass or occupancy fast path;
+        optional Pallas fused-MLP backend (--backend pallas)."""
         opt, s, field = self.opt, self.settings, self.field
+        use_pallas = opt.backend == "pallas"
+
+        def apply_fns(p):
+            if not use_pallas:
+                return None
+            from customnerf_tpu.models.field import make_pallas_apply
+            return make_pallas_apply(field, p)
+
         if opt.cuda_ray:
             from customnerf_tpu.models.renderer import render_rays_fast
 
@@ -248,11 +257,13 @@ class Trainer:
                     density_thresh=opt.density_thresh,
                     n_coarse=max(opt.num_steps + opt.upsample_steps, 2) * 2,
                     n_keep=opt.num_steps + opt.upsample_steps,
-                    train=train, perturb=perturb, bg_color=bg_color)
+                    train=train, perturb=perturb, bg_color=bg_color,
+                    apply_fns=apply_fns(p))
         else:
             def render(p, occ, o, d, key, train, perturb, bg_color=None):
                 return render_rays(field, p, o, d, key, s, train=train,
-                                   perturb=perturb, bg_color=bg_color)
+                                   perturb=perturb, bg_color=bg_color,
+                                   apply_fns=apply_fns(p))
         return render
 
     # ----------------------------------------------------------- train step
@@ -291,6 +302,62 @@ class Trainer:
 
         return step
 
+    def _multi_step_fn(self):
+        """K train steps per dispatch via lax.scan over pre-stacked batches —
+        amortizes host→device dispatch latency (a TPU-tunnel reality the
+        reference never faced; ``--steps_per_dispatch``)."""
+        opt, tx = self.opt, self.tx
+        render = self._render_fn()
+
+        @jax.jit
+        def many(params, opt_state, occ, rgbs_k, mask_k, rays_o_k, rays_d_k,
+                 keys):
+            def body(carry, inp):
+                params, opt_state = carry
+                rgbs, mask, rays_o, rays_d, key = inp
+                # same split order as the single-step path (RNG parity)
+                _key_sel, key_render = jax.random.split(key)
+
+                def loss_fn(p):
+                    out = render(p, occ, rays_o, rays_d, key_render,
+                                 train=True, perturb=True)
+                    loss_c = opt.train_rgb * jnp.mean((out["image"] - rgbs) ** 2)
+                    loss = loss_c
+                    aux = {"loss_c": loss_c}
+                    if opt.train_conf:
+                        loss_m = opt.train_conf * jnp.mean(
+                            (out["render_mask"][..., 0] - mask) ** 2)
+                        loss = loss + loss_m
+                        aux["loss_m"] = loss_m
+                    return loss, aux
+
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux)
+
+            (params, opt_state), (losses, auxes) = jax.lax.scan(
+                body, (params, opt_state),
+                (rgbs_k, mask_k, rays_o_k, rays_d_k, keys))
+            return params, opt_state, losses, auxes
+
+        return many
+
+    def train_many(self, batches, keys):
+        """Run len(batches) reconstruction steps in ONE device dispatch."""
+        if "multi" not in self._compiled:
+            self._compiled["multi"] = self._multi_step_fn()
+        many = self._compiled["multi"]
+        rgbs = jnp.stack([b.rgbs.reshape(-1, 3) for b in batches])
+        mask = jnp.stack([b.mask.reshape(-1) for b in batches])
+        rays_o = jnp.stack([b.rays_o for b in batches])
+        rays_d = jnp.stack([b.rays_d for b in batches])
+        self.params, self.opt_state, losses, auxes = many(
+            self.params, self.opt_state, self.occ_state, rgbs, mask,
+            rays_o, rays_d, jnp.stack(keys))
+        return losses, auxes
+
     def train_step(self, batch, key):
         if self.opt.pretrained:
             return self.train_step_editing(batch, key)
@@ -306,7 +373,9 @@ class Trainer:
         self.params, self.opt_state, loss, aux = step(
             self.params, self.opt_state, self.occ_state, rgbs, mask,
             rays_o, rays_d, key)
-        return loss, {k: float(v) for k, v in aux.items()}
+        # device scalars returned as-is: the epoch loop converts lazily so a
+        # step costs ONE dispatch (no per-step host sync on the TPU tunnel)
+        return loss, aux
 
     def train_step_editing(self, batch, key):
         from customnerf_tpu.engine.editing import editing_step
@@ -329,22 +398,43 @@ class Trainer:
         lr_now = float(self.lr_fn(self.global_step))
         self.log(f"==> Start Training {self.workspace} Epoch {self.epoch}, "
                  f"lr={lr_now:.6f} ...")
-        total_loss, local_step = 0.0, 0
-        for batch in loader:
-            if (self.opt.cuda_ray
-                    and self.global_step % self.opt.update_extra_interval == 0):
-                self.update_extra_state()
-            self.global_step += 1
-            local_step += 1
-            self.root_key, key = jax.random.split(self.root_key)
-            loss, loss_dict = self.train_step(batch, key)
-            loss_val = float(sum(loss_dict.values()))
+        pending = []  # (global_step, loss_dict of device scalars)
+        spd = max(int(self.opt.steps_per_dispatch), 1)
+        if spd > 1 and not self.opt.pretrained:
+            batches = list(loader)
+            for i in range(0, len(batches), spd):
+                group = batches[i:i + spd]
+                if (self.opt.cuda_ray and self.global_step
+                        % self.opt.update_extra_interval < len(group)):
+                    self.update_extra_state()
+                keys = []
+                for _ in group:
+                    self.root_key, k = jax.random.split(self.root_key)
+                    keys.append(k)
+                losses, auxes = self.train_many(group, keys)
+                for j in range(len(group)):
+                    self.global_step += 1
+                    pending.append((self.global_step, jax.tree_util.tree_map(
+                        lambda x, j=j: x[j], auxes)))
+        else:
+            for batch in loader:
+                if (self.opt.cuda_ray
+                        and self.global_step % self.opt.update_extra_interval == 0):
+                    self.update_extra_state()
+                self.global_step += 1
+                self.root_key, key = jax.random.split(self.root_key)
+                _, loss_dict = self.train_step(batch, key)
+                pending.append((self.global_step, loss_dict))
+
+        # one host sync for the whole epoch (tunnel dispatch latency matters)
+        total_loss = 0.0
+        for gstep, loss_dict in pending:
+            loss_val = float(sum(float(v) for v in loss_dict.values()))
             total_loss += loss_val
             if self.writer:
-                self.writer.add_scalar("train/loss", loss_val, self.global_step)
-                self.writer.add_scalar("train/lr", float(self.lr_fn(self.global_step)),
-                                       self.global_step)
-        avg = total_loss / max(local_step, 1)
+                self.writer.add_scalar("train/loss", loss_val, gstep)
+                self.writer.add_scalar("train/lr", float(self.lr_fn(gstep)), gstep)
+        avg = total_loss / max(len(pending), 1)
         self.stats["loss"].append(avg)
         self.log(f"==> Finished Epoch {self.epoch}. average_loss {avg}")
 

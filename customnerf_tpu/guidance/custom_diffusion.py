@@ -302,3 +302,59 @@ def train_custom_diffusion(
                       {modifier_token: np.asarray(trainable["tok_row"])})
     print(f"[cd-tune] saved artifacts to {output_dir}")
     return output_dir
+
+
+# --------------------------------------------------------------- merging
+def merge_concepts(concept_dirs, base_kv, reg_embeddings, concept_embeddings,
+                   steps: int = 200, lr: float = 1e-2):
+    """Optimization-based multi-concept K/V merge.
+
+    Working equivalent of the reference's (broken, ldm-dependent)
+    ``custom_diffusion/composenW.py``: find one K/V table W that (a) matches
+    each concept's table on that concept's text embeddings and (b) stays
+    close to the base table on regularization embeddings:
+
+        min_W  Σ_i ‖(W − W_i)ᵀ c_i‖² + ‖(W − W_base)ᵀ C_reg‖²
+
+    Args:
+      concept_dirs: list of artifact dirs (each from train_custom_diffusion).
+      base_kv: the pretrained UNet's K/V table (extract_cd_kv).
+      reg_embeddings: [R, D] regularization text embeddings.
+      concept_embeddings: list of [C_i, D] per-concept prompt embeddings.
+
+    Returns the merged cd_kv table.
+    """
+    import jax
+    import optax
+
+    tables = []
+    for d in concept_dirs:
+        kv, _ = load_cd_artifacts(d)
+        if kv is None:
+            raise ValueError(f"no adapter weights in {d}")
+        tables.append(kv)
+
+    merged = jax.tree_util.tree_map(lambda x: jnp.asarray(x), base_kv)
+    reg = jnp.asarray(reg_embeddings)
+    cons = [jnp.asarray(c) for c in concept_embeddings]
+
+    def loss_fn(W):
+        loss = 0.0
+        for name in base_kv:
+            for kv_name in ("to_k", "to_v"):
+                w = W[name][kv_name]
+                loss = loss + jnp.mean((reg @ (w - base_kv[name][kv_name])) ** 2)
+                for tbl, c in zip(tables, cons):
+                    if name in tbl and kv_name in tbl[name]:
+                        loss = loss + jnp.mean(
+                            (c @ (w - tbl[name][kv_name])) ** 2) * 10.0
+        return loss
+
+    tx = optax.adam(lr)
+    state = tx.init(merged)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for _ in range(steps):
+        loss, g = grad_fn(merged)
+        updates, state = tx.update(g, state)
+        merged = optax.apply_updates(merged, updates)
+    return merged

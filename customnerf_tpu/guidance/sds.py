@@ -50,11 +50,17 @@ class StableDiffusionGuidance:
 
         key = jax.random.PRNGKey(opt.seed)
         k_unet, k_vae = jax.random.split(key)
-        latents = jnp.zeros((1, 8, 8, 4))
-        ctx = jnp.zeros((1, 77, cross_dim))
-        self.unet_params = self.unet.init(k_unet, latents, jnp.zeros((1,), jnp.int32), ctx)
-        imgs = jnp.zeros((1, 64, 64, 3))
-        self.vae_params = self.vae.init({"params": k_vae}, imgs, k_vae)
+        # init on host CPU: compiling a 860M-param init program through a
+        # remote TPU tunnel takes minutes; params migrate to device on first
+        # use instead.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            latents = jnp.zeros((1, 8, 8, 4))
+            ctx = jnp.zeros((1, 77, cross_dim))
+            self.unet_params = self.unet.init(
+                k_unet, latents, jnp.zeros((1,), jnp.int32), ctx)
+            imgs = jnp.zeros((1, 64, 64, 3))
+            self.vae_params = self.vae.init({"params": k_vae}, imgs, k_vae)
 
         self.cd_kv = None  # Custom Diffusion adapter table (use_cd)
         if opt.use_cd is not None and not opt.test:
@@ -85,33 +91,39 @@ class StableDiffusionGuidance:
 
     # ---------------------------------------------------------------- image
     def encode_imgs_fn(self):
-        """Returns a pure fn(latents←images) usable inside a larger jit."""
-        vae, params = self.vae, self.vae_params
+        """Returns a pure fn(vae_params, images, key) → latents.
 
-        def encode(images_nhwc, key):
+        vae_params must be threaded as a jit ARGUMENT by callers — closing
+        over them would bake GBs of constants into the XLA program.
+        """
+        vae = self.vae
+
+        def encode(vae_params, images_nhwc, key):
             imgs = 2.0 * images_nhwc - 1.0
-            return vae.apply(params, imgs, key, method=vae.encode)
+            return vae.apply(vae_params, imgs, key, method=vae.encode)
 
         return encode
 
     def encode_imgs(self, images_nhwc, key):
-        return self.encode_imgs_fn()(images_nhwc, key)
+        return self.encode_imgs_fn()(self.vae_params, images_nhwc, key)
 
     # ----------------------------------------------------------------- SDS
     def sds_loss_fn(self):
-        """Pure fn(latents, text_embeddings, t, noise_key) → (loss, aux).
+        """Pure fn(unet_params, latents, text_embeddings, t, noise_key)
+        → (loss, aux).
 
         Differentiable in ``latents`` only — UNet runs under stop_gradient,
         exactly like the reference's no_grad UNet + detached target.
+        unet_params is an explicit argument (never a closure constant).
         """
-        unet, unet_params = self.unet, self.unet_params
+        unet = self.unet
         alphas = self.alphas
         lambda_sd = self.opt.lambda_sd
         guidance_scale = self.opt.cfg
         scheduler = self.scheduler
         cd_kv = self.cd_kv
 
-        def loss_fn(latents, text_embeddings, t, key):
+        def loss_fn(unet_params, latents, text_embeddings, t, key):
             noise = jax.random.normal(key, latents.shape, dtype=latents.dtype)
             latents_noisy = scheduler.add_noise(latents, noise, t)
             latent_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
@@ -155,5 +167,6 @@ class StableDiffusionGuidance:
         t = self.sample_timestep(
             k_t, getattr(system, "global_step", None), t_ratio)
         loss_fn = self.sds_loss_fn()
-        loss, aux = loss_fn(latents, text_embeddings, jnp.asarray(t), k_n)
+        loss, aux = loss_fn(self.unet_params, latents, text_embeddings,
+                            jnp.asarray(t), k_n)
         return loss, {k: float(v) for k, v in aux.items()}

@@ -174,6 +174,55 @@ class NeRFField(nn.Module):
         return self.init(key, x, d)
 
 
+def make_pallas_apply(field: NeRFField, params):
+    """Build (fused_fn, density_fn) that reproduce the standard fused-head
+    field using the Pallas fully-fused MLP kernel (ops/fused_mlp_pallas).
+
+    Only valid for the default configuration (single fused rgb+conf head,
+    bias-free) — the variant heads fall back to the flax path.
+    Returns None when the config isn't kernel-compatible.
+    """
+    c = field.cfg
+    if c.use_bias or c.detach_mask_from_field or c.mask_no_dir:
+        return None
+    p = params["params"]
+    if "conf_net" in p:
+        return None
+    from customnerf_tpu.ops.fused_mlp_pallas import fused_field_mlp
+
+    weights = [
+        p["feature_net"]["hidden_0"]["kernel"],
+        p["feature_net"]["hidden_1"]["kernel"],
+        p["feature_net"]["out"]["kernel"],
+        p["density_net"]["hidden_0"]["kernel"],
+        p["density_net"]["out"]["kernel"],
+        p["rgb_net"]["hidden_0"]["kernel"],
+        p["rgb_net"]["out"]["kernel"],
+    ]
+    table = p["grid_table"]
+
+    def fused(x, d):
+        prefix = x.shape[:-1]
+        xf = x.reshape(-1, 3)
+        df = d.reshape(-1, 3)
+        x01 = (xf + c.bound) / (2.0 * c.bound)
+        x_en = grid_encode(x01, table, c.grid)
+        view_en = freq_encode(df, c.dir_multires)
+        sigma_raw, rgb_raw = fused_field_mlp(x_en, view_en, weights)
+        blob = 5.0 * jnp.exp(-jnp.sum(xf * xf, -1) / (2.0 * 0.2 ** 2))
+        sigma = trunc_exp(sigma_raw + blob)
+        radiance = jax.nn.sigmoid(rgb_raw)
+        return (sigma.reshape(prefix),
+                radiance.reshape(*prefix, radiance.shape[-1]))
+
+    def density(x):
+        # reuse the fused kernel with zero dirs (rgb head wasted but cheap)
+        sigma, _ = fused(x, jnp.zeros_like(x))
+        return sigma
+
+    return fused, density
+
+
 def param_label_fn(params):
     """Label pytree leaves 'grid' vs 'mlp' for per-group LR (the reference
     trains the encoder at lr×10, network_grid.py:196-206)."""

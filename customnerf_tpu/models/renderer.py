@@ -104,6 +104,7 @@ def render_rays(
     train: bool = False,
     perturb: bool = False,
     bg_color=None,     # None | [3] | [N, 3]
+    apply_fns=None,    # optional (fused, density) override (Pallas backend)
 ):
     """Render a batch of rays through the field.
 
@@ -138,7 +139,11 @@ def render_rays(
 
     xyzs = make_xyzs(z_vals)                            # [N, T, 3]
 
-    density_fn = lambda pts: field.apply(params, pts, method=field.density)
+    if apply_fns is not None:
+        fused_fn, density_fn = apply_fns
+    else:
+        fused_fn = lambda pts, dd: field.apply(params, pts, dd)
+        density_fn = lambda pts: field.apply(params, pts, method=field.density)
     sigmas_coarse = density_fn(xyzs)                    # [N, T]
 
     if s.upsample_steps > 0:
@@ -168,7 +173,7 @@ def render_rays(
         z_all, xyz_all = z_vals, xyzs
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz_all.shape)
-    sigmas, radiance = field.apply(params, xyz_all, dirs)  # fused eval
+    sigmas, radiance = fused_fn(xyz_all, dirs)  # fused eval
     rgbs = radiance[..., :3]
     masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
 
@@ -219,6 +224,7 @@ def render_rays_fast(
     train: bool = False,
     perturb: bool = False,
     bg_color=None,
+    apply_fns=None,
 ):
     """Occupancy-grid fast path (the reference's ``-O``/``run_cuda`` mode,
     renderer.py:597-718): march only occupied cells, evaluate the field on a
@@ -245,7 +251,10 @@ def render_rays_fast(
     xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
 
-    sigmas, radiance = field.apply(params, xyz, dirs)
+    if apply_fns is not None:
+        sigmas, radiance = apply_fns[0](xyz, dirs)
+    else:
+        sigmas, radiance = field.apply(params, xyz, dirs)
     sigmas = sigmas * valid.astype(sigmas.dtype)
     rgbs = radiance[..., :3]
     masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None

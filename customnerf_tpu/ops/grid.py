@@ -166,6 +166,7 @@ def grid_encode(x01, table, spec: GridSpec, max_level: int | None = None):
         np.meshgrid(*[[0, 1]] * D, indexing="ij"), axis=-1
     ).reshape(-1, D)  # [2^D, D] corner offset pattern
 
+    bits_arr = jnp.asarray(offset_bits, dtype=jnp.int32)      # [8, D]
     outs = []
     for l in range(L):
         if l >= max_level:
@@ -184,16 +185,17 @@ def grid_encode(x01, table, spec: GridSpec, max_level: int | None = None):
         frac = pos - pos_grid
         pos_grid = pos_grid.astype(jnp.int32)
 
-        level_out = jnp.zeros((B, C), dtype=jnp.float32)
         base = int(meta["offsets"][l])
-        for bits in offset_bits:
-            corner = pos_grid + jnp.asarray(bits, dtype=jnp.int32)
-            w = jnp.ones((B,), dtype=jnp.float32)
-            for d in range(D):
-                w = w * jnp.where(bits[d] == 0, 1.0 - frac[:, d], frac[:, d])
-            idx = _corner_index(corner, meta_l, spec) + base
-            vals = jnp.take(table, idx, axis=0).astype(jnp.float32)  # [B, C]
-            level_out = level_out + w[:, None] * vals
+        corners = pos_grid[:, None, :] + bits_arr[None, :, :]   # [B, 8, D]
+        idx = _corner_index(corners, meta_l, spec) + base       # [B, 8]
+        vals = jnp.take(table, idx.reshape(-1), axis=0)         # [B*8, C]
+        vals = vals.reshape(B, 2 ** D, C).astype(jnp.float32)
+        # trilinear weights, all 8 corners at once: [B, 8]
+        w = jnp.where(bits_arr[None, :, :] == 0,
+                      1.0 - frac[:, None, :], frac[:, None, :])
+        w = jnp.prod(w, axis=-1)
+        level_out = jnp.einsum("bk,bkc->bc", w, vals,
+                               preferred_element_type=jnp.float32)
         outs.append(level_out.astype(table.dtype))
 
     out = jnp.concatenate(outs, axis=-1)  # [B, L*C]

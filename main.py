@@ -19,11 +19,20 @@ from customnerf_tpu.config import parse_args
 
 def _honor_platform_env():
     """The axon TPU plugin overrides jax_platforms at import time; re-assert
-    the user's JAX_PLATFORMS so `JAX_PLATFORMS=cpu python main.py` works."""
+    the user's JAX_PLATFORMS so `JAX_PLATFORMS=cpu python main.py` works.
+    Also enable the persistent compilation cache — first compiles through the
+    TPU tunnel cost minutes and are fully reusable across runs."""
+    import jax
     want = os.environ.get("JAX_PLATFORMS")
     if want:
-        import jax
         jax.config.update("jax_platforms", want)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/customnerf_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 from customnerf_tpu.data.base import NeRFDataset
 from customnerf_tpu.engine.trainer import Trainer, max_epochs_for
 

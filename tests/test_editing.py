@@ -1,0 +1,155 @@
+"""LGIE editing step wired end-to-end with a tiny SD stack on CPU:
+pt-cache, LGIE gate, SDS cotangent path, keep_bg loss, param updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from customnerf_tpu.config import Config
+from customnerf_tpu.data.base import NeRFDataset
+from customnerf_tpu.engine.trainer import Trainer
+from customnerf_tpu.guidance.scheduler import DDPMSchedule
+from customnerf_tpu.guidance.sds import StableDiffusionGuidance
+from customnerf_tpu.guidance.unet import UNet2DCondition, UNetConfig
+from customnerf_tpu.guidance.vae import AutoencoderKL, VAEConfig
+
+
+class TinyGuidance(StableDiffusionGuidance):
+    """Same plumbing, toy-size UNet/VAE/text so CPU tests run in seconds."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.unet = UNet2DCondition(UNetConfig(
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            cross_attention_dim=32, attention_head_dim=4, norm_num_groups=8))
+        self.vae = AutoencoderKL(VAEConfig(
+            block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+            norm_num_groups=8))
+        key = jax.random.PRNGKey(0)
+        self.unet_params = self.unet.init(
+            key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 32)))
+        self.vae_params = self.vae.init({"params": key},
+                                        jnp.zeros((1, 64, 64, 3)), key)
+        self.cd_kv = None
+        self.scheduler = DDPMSchedule()
+        self.num_train_timesteps = 1000
+        self.min_step = 20
+        self.max_step = int(1000 * opt.max_ratio)
+        self.alphas = self.scheduler.alphas_cumprod
+        self.system = None
+
+        class _Tok:
+            def get_text_embeds(self, p, n):
+                h = abs(hash((tuple(p), tuple(n)))) % (2 ** 31)
+                return jax.random.normal(jax.random.PRNGKey(h), (2, 77, 32))
+
+        self.text_encoder = _Tok()
+
+    def get_text_embeds(self, p, n):
+        return self.text_encoder.get_text_embeds(p, n)
+
+
+@pytest.fixture(scope="module")
+def edit_setup(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("edit_ws"))
+    opt = Config(
+        data_type="synthetic", workspace=ws, iters=100, lr=5e-3,
+        num_steps=8, upsample_steps=4, train_size=4, soft_mask=True,
+        pretrained=True, lambda_sd=0.01, keep_bg=10.0, cfg=100.0,
+        random_bg_c=True, detach_bg=True, stage_time=True,
+        text="a corgi in a forest", text_fg="a corgi",
+        grid_levels=4, log2_hashmap_size=10, desired_resolution=32,
+        grid_base_resolution=4, use_ckpt="scratch", max_ray_batch=8192,
+    )
+    # shrink the rendered image so VAE input stays small:
+    guidance = TinyGuidance(opt)
+    trainer = Trainer("df", opt, guidance=guidance, use_checkpoint="scratch")
+    loader = NeRFDataset(opt, type="train").dataloader()
+    return trainer, loader
+
+
+def _patched_editing(trainer, batch, key, monkey):
+    """Patch the 512² resize to 64² so the tiny VAE input is small."""
+    import customnerf_tpu.engine.editing as ed
+    orig = jax.image.resize
+
+    def small_resize(x, shape, method="bilinear", **kw):
+        if len(shape) == 4 and shape[1] == 512:
+            shape = (shape[0], 64, 64, shape[3])
+        return orig(x, shape, method=method, **kw)
+
+    monkey.setattr(jax.image, "resize", small_resize)
+    try:
+        return ed.editing_step(trainer, batch, key)
+    finally:
+        monkey.undo()
+
+
+def test_editing_step_runs_and_updates(edit_setup, monkeypatch):
+    trainer, loader = edit_setup
+    batch = loader.item(0)
+    p_before = jax.tree_util.tree_map(np.asarray, trainer.params)
+
+    trainer.global_step = 1
+    loss, aux = _patched_editing(trainer, batch, jax.random.PRNGKey(1),
+                                 monkeypatch)
+    assert "loss_sds" in aux and "loss_bg" in aux
+    assert np.isfinite(float(aux["loss_sds"]))
+    assert np.isfinite(float(aux["loss_bg"]))
+
+    p_after = jax.tree_util.tree_map(np.asarray, trainer.params)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
+def test_pt_cache_populated_once(edit_setup, monkeypatch):
+    trainer, loader = edit_setup
+    batch = loader.item(1)
+    n0 = len(trainer.pt_dict)
+    trainer.global_step = 2
+    _patched_editing(trainer, batch, jax.random.PRNGKey(2), monkeypatch)
+    n1 = len(trainer.pt_dict)
+    assert n1 >= n0
+    # same image again → cache size unchanged
+    _patched_editing(trainer, batch, jax.random.PRNGKey(3), monkeypatch)
+    assert len(trainer.pt_dict) == n1
+    entry = next(iter(trainer.pt_dict.values()))
+    assert set(entry) >= {"pt_rgb_bg", "pt_rgb_fg", "pt_mask", "pt_depth_fg"}
+
+
+def test_text_embeddings_prepared(edit_setup):
+    trainer, _ = edit_setup
+    assert hasattr(trainer, "text_z")
+    assert trainer.text_z.shape == (2, 77, 32)   # [uncond, cond]
+    assert trainer.text_z_bg.shape == (2, 77, 32)
+
+
+def test_lgie_gate_g_only_l_only(edit_setup, monkeypatch):
+    trainer, loader = edit_setup
+    batch = loader.item(0)
+    # g_only forces global branch, l_only forces local — both must run
+    for flag in ("g_only", "l_only"):
+        object.__setattr__(trainer.opt, flag, True)
+        trainer.global_step += 1
+        loss, aux = _patched_editing(trainer, batch,
+                                     jax.random.PRNGKey(5), monkeypatch)
+        assert np.isfinite(float(loss))
+        object.__setattr__(trainer.opt, flag, False)
+
+
+def test_stage_time_halves_max_step(edit_setup):
+    trainer, _ = edit_setup
+    g = trainer.guidance
+    # late in training (past iters/2) max_step halves (sd.py:120-131)
+    ts_late = [g.sample_timestep(jax.random.PRNGKey(i), global_step=90)
+               for i in range(50)]
+    assert max(ts_late) <= int(g.max_step * 0.5)
+    ts_early = [g.sample_timestep(jax.random.PRNGKey(i), global_step=10)
+                for i in range(50)]
+    assert max(ts_early) > int(g.max_step * 0.5)
+    # t_ratio truncation (sd.py:132)
+    t = g.sample_timestep(jax.random.PRNGKey(0), global_step=10, t_ratio=0.5)
+    assert isinstance(t, int)

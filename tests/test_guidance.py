@@ -149,7 +149,8 @@ def test_sds_gradient_identity():
     t = jnp.int32(300)
     key = jax.random.PRNGKey(3)
 
-    grad = jax.grad(lambda l: loss_fn(l, text, t, key)[0])(latents)
+    grad = jax.grad(
+        lambda l: loss_fn(g.unet_params, l, text, t, key)[0])(latents)
 
     # recompute the expected grad by hand
     noise = jax.random.normal(key, latents.shape)
