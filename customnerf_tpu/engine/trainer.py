@@ -385,9 +385,19 @@ class Trainer:
     def train(self, train_loader, valid_loader, max_epochs: int):
         start_t = time.time()
         self.save_checkpoint(full=True)
+        if self.opt.profile:
+            # xplane trace of the first epoch (SURVEY.md §5.1: the reference
+            # has no profiler; JAX gives us one for free)
+            jax.profiler.start_trace(os.path.join(self.workspace, "profile"))
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
             self.train_one_epoch(train_loader)
+            if self.opt.profile and epoch == self.epoch:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                object.__setattr__(self.opt, "profile", False)
             if epoch % self.opt.eval_interval == 0:
                 self.save_checkpoint(full=True)
                 self.evaluate_one_epoch(valid_loader)
@@ -487,6 +497,7 @@ class Trainer:
         import cv2
 
         strips = []
+        psnrs = []
         for i, batch in enumerate(loader):
             if not self.opt.val_all_images and i >= 4:
                 break
@@ -494,6 +505,8 @@ class Trainer:
             out = self.render_image(batch.rays_o, batch.rays_d)
             gt = np.asarray(batch.rgbs).reshape(H, W, 3)
             rgb = np.asarray(out["image"]).reshape(H, W, 3)
+            mse = float(np.mean((rgb - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
             depth = np.asarray(out["depth"]).reshape(H, W, 1).repeat(3, -1)
             ims = [gt, rgb, depth]
             if self.opt.train_conf and "render_mask" in out:
@@ -519,8 +532,13 @@ class Trainer:
             cv2.imwrite(path, cv2.cvtColor(
                 (np.clip(full, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
             self.log(f"++> saved validation strip to {path}")
-        self.stats["valid_loss"].append(0.0)
-        self.stats["results"].append(0.0)
+        mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+        self.log(f"++> eval PSNR: {mean_psnr:.2f} dB "
+                 f"({[round(p, 2) for p in psnrs]})")
+        if self.writer:
+            self.writer.add_scalar("eval/psnr", mean_psnr, self.global_step)
+        self.stats["valid_loss"].append(-mean_psnr)
+        self.stats["results"].append(-mean_psnr)
 
     def evaluate(self, loader, name=None):
         self.evaluate_one_epoch(loader, name)

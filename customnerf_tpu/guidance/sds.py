@@ -135,7 +135,8 @@ class StableDiffusionGuidance:
             noise_pred = noise_text + guidance_scale * (noise_text - noise_uncond)
 
             w = 1.0 - alphas[t]
-            grad = w * (noise_pred - noise) * lambda_sd
+            grad = (w * (noise_pred.astype(jnp.float32) - noise)
+                    * lambda_sd)
             grad = jnp.nan_to_num(grad)
             target = jax.lax.stop_gradient(latents - grad)
             loss = 0.5 * jnp.sum((latents - target) ** 2)

@@ -140,11 +140,13 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, name="encoder")
         self.decoder = Decoder(self.cfg, name="decoder")
-        dt = self.cfg.compute_dtype
+        # latent-space 1×1 convs in fp32: the sampled latents feed the SDS
+        # gradient path and must stay full precision
         self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
-                                  dtype=dt, name="quant_conv")
+                                  dtype=jnp.float32, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
-                                       dtype=dt, name="post_quant_conv")
+                                       dtype=jnp.float32,
+                                       name="post_quant_conv")
 
     def moments(self, images):
         """images NHWC in [-1, 1] → (mean, logvar) each [B,h,w,4]."""
