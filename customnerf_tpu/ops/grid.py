@@ -167,11 +167,15 @@ def grid_encode(x01, table, spec: GridSpec, max_level: int | None = None):
     ).reshape(-1, D)  # [2^D, D] corner offset pattern
 
     bits_arr = jnp.asarray(offset_bits, dtype=jnp.int32)      # [8, D]
-    outs = []
-    for l in range(L):
-        if l >= max_level:
-            outs.append(jnp.zeros((B, C), dtype=table.dtype))
-            continue
+    K = 2 ** D
+
+    # build indices + trilinear weights for ALL levels, then do ONE gather:
+    # on TPU, gather cost is per-row with large fixed overhead per gather op —
+    # a single merged 67M-row take is ~3.7× faster than 16 separate ones
+    # (measured on v5e; see bench notes in the commit history).
+    all_idx, all_w = [], []
+    shift = 0.0 if spec.align_corners else 0.5
+    for l in range(min(max_level, L)):
         meta_l = dict(
             include=meta["include"][l],
             strides=meta["strides"][l],
@@ -179,7 +183,6 @@ def grid_encode(x01, table, spec: GridSpec, max_level: int | None = None):
             size=int(meta["sizes"][l]),
         )
         scale = float(meta["scales"][l])
-        shift = 0.0 if spec.align_corners else 0.5
         pos = x * scale + shift
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
@@ -188,17 +191,22 @@ def grid_encode(x01, table, spec: GridSpec, max_level: int | None = None):
         base = int(meta["offsets"][l])
         corners = pos_grid[:, None, :] + bits_arr[None, :, :]   # [B, 8, D]
         idx = _corner_index(corners, meta_l, spec) + base       # [B, 8]
-        vals = jnp.take(table, idx.reshape(-1), axis=0)         # [B*8, C]
-        vals = vals.reshape(B, 2 ** D, C).astype(jnp.float32)
-        # trilinear weights, all 8 corners at once: [B, 8]
         w = jnp.where(bits_arr[None, :, :] == 0,
                       1.0 - frac[:, None, :], frac[:, None, :])
-        w = jnp.prod(w, axis=-1)
-        level_out = jnp.einsum("bk,bkc->bc", w, vals,
-                               preferred_element_type=jnp.float32)
-        outs.append(level_out.astype(table.dtype))
+        all_idx.append(idx)
+        all_w.append(jnp.prod(w, axis=-1))                      # [B, 8]
 
-    out = jnp.concatenate(outs, axis=-1)  # [B, L*C]
+    L_used = len(all_idx)
+    idx_all = jnp.stack(all_idx, axis=1).reshape(B * L_used * K)   # [B*L*8]
+    w_all = jnp.stack(all_w, axis=1)                                # [B, L, 8]
+    vals = jnp.take(table, idx_all, axis=0)                          # [B*L*8, C]
+    vals = vals.reshape(B, L_used, K, C).astype(jnp.float32)
+    out = jnp.einsum("blk,blkc->blc", w_all, vals,
+                     preferred_element_type=jnp.float32)             # [B, L, C]
+    out = out.reshape(B, L_used * C).astype(table.dtype)
+    if L_used < L:
+        out = jnp.concatenate(
+            [out, jnp.zeros((B, (L - L_used) * C), table.dtype)], axis=-1)
     out = jnp.where(oob, jnp.zeros_like(out), out)
     return out.reshape(*prefix, L * C)
 
