@@ -113,6 +113,47 @@ def main():
         lambda p, key: render_rays_fast(
             field, p, o, d, occ, key, fast_settings, density_thresh=10.0,
             n_coarse=128, n_keep=64, train=True, perturb=True)), "fast(-O)")
+
+    # TPU-tuned grid (8 levels × 4 ch, same 32-d output): halves gather rows
+    # (docs/PERF.md row-count law); diagnostic line only — the headline stays
+    # on the reference-parity 16×2 layout.
+    try:
+        grid_t = GridSpec(num_levels=8, level_dim=4, base_resolution=16,
+                          log2_hashmap_size=21, desired_resolution=8192,
+                          gridtype="tiled")
+        field_t = NeRFField(FieldConfig(
+            bound=2.0, grid=grid_t,
+            compute_dtype="bfloat16" if on_accel else "float32"))
+        params_t = field_t.init_params(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def step_t(p, opt_state, key):
+            def loss_fn(pp):
+                out = render_rays_fast(
+                    field_t, pp, o, d, occ, key, fast_settings,
+                    density_thresh=10.0, n_coarse=128, n_keep=64,
+                    train=True, perturb=True)
+                return jnp.mean((out["image"] - target) ** 2)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        ost = tx.init(params_t)
+        pt = params_t
+        key = jax.random.PRNGKey(0)
+        key, sub = jax.random.split(key)
+        pt, ost, loss = step_t(pt, ost, sub)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            pt, ost, loss = step_t(pt, ost, sub)
+        _ = float(loss)
+        dt = time.perf_counter() - t0
+        print(f"[bench] fast(-O) tuned 8x4 grid: {n_rays * iters / dt:.1f} rays/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] tuned-grid diagnostic failed: {e}", file=sys.stderr)
     try:
         dense_rps = run(make_step(
             lambda p, key: render_rays(field, p, o, d, key, dense_settings,

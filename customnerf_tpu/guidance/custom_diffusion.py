@@ -42,6 +42,8 @@ def extract_cd_kv(unet_params) -> Dict[str, Dict[str, jnp.ndarray]]:
     p = unet_params["params"]
     table = {}
     for ours, _ in _BLOCKS:
+        if ours not in p:  # smaller configs (fewer layers_per_block)
+            continue
         attn2 = p[ours]["transformer_blocks_0"]["attn2"]
         table[ours] = {"to_k": jnp.asarray(attn2["to_k"]["kernel"]),
                        "to_v": jnp.asarray(attn2["to_v"]["kernel"])}
@@ -55,6 +57,8 @@ def save_cd_artifacts(out_dir: str, cd_kv, token_embeds: Dict[str, np.ndarray]):
     os.makedirs(out_dir, exist_ok=True)
     state = {}
     for ours, theirs in _BLOCKS:
+        if ours not in cd_kv:
+            continue
         for kv in ("to_k", "to_v"):
             w = np.asarray(cd_kv[ours][kv]).T  # [I,O] → torch [O,I]
             state[f"{theirs}.transformer_blocks.0.attn2.processor."
@@ -120,6 +124,14 @@ def _register_token(text_encoder, token: str, embedding: np.ndarray):
         grown = np.zeros((token_id + 1, table.shape[1]), table.dtype)
         grown[: table.shape[0]] = table
         table = grown
+        # rebuild the flax module with the grown vocab (shape-checked on apply)
+        try:
+            from transformers import FlaxCLIPTextModel
+            cfg = text_encoder.model.config
+            cfg.vocab_size = token_id + 1
+            text_encoder.model = FlaxCLIPTextModel(cfg, _do_init=False)
+        except Exception as e:
+            print(f"[WARN] could not grow text model vocab: {e}")
     table[token_id] = embedding[: table.shape[1]]
     emb_path["embedding"] = jnp.asarray(table)
     text_encoder.params = params
@@ -278,13 +290,15 @@ def train_custom_diffusion(
     for step_i in range(steps):
         key, k_vae, k_noise, k_vae2 = jax.random.split(key, 4)
         img, mask, prompt = ds.sample_instance()
-        latents = encode(jnp.asarray((img[None] + 1) / 2), k_vae)
+        latents = encode(guidance.vae_params,
+                         jnp.asarray((img[None] + 1) / 2), k_vae)
         ids = jnp.asarray(te.tokenize([prompt]))
         t = jnp.int32(rng.randint(0, scheduler.num_train_timesteps))
 
         if use_prior:
             img2, _, prompt2 = ds.sample_class()
-            latents_pr = encode(jnp.asarray((img2[None] + 1) / 2), k_vae2)
+            latents_pr = encode(guidance.vae_params,
+                                jnp.asarray((img2[None] + 1) / 2), k_vae2)
             ctx_pr = te.encode([prompt2])
             t_pr = jnp.int32(rng.randint(0, scheduler.num_train_timesteps))
         else:
