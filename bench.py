@@ -68,6 +68,7 @@ def main():
     dens = (rng.rand(*occ.density_grid.shape) > 0.5).astype(np.float32) * 100.0
     occ = OccupancyState(density_grid=jnp.asarray(dens), bitfield=occ.bitfield,
                          mean_density=jnp.float32(1.0),
+                         iter_density=jnp.int32(10),
                          grid_size=occ.grid_size)
 
     fast_settings = RenderSettings(bound=2.0, num_steps=64, upsample_steps=0,

@@ -94,6 +94,18 @@ def load_checkpoint(path: str, opt_state_template=None) -> Tuple[dict, dict]:
     if "model" not in ckpt:
         params = _unflatten({k: v.numpy() for k, v in ckpt.items()})
         return params, {}
+    model_keys = set(ckpt["model"].keys())
+    if "pos_en.embeddings" in model_keys:
+        # reference-format checkpoint (torch-ngp/tcnn layout): convert
+        from customnerf_tpu.engine.torch_shim import import_reference_checkpoint
+        params = import_reference_checkpoint(path)
+        meta = {
+            "epoch": ckpt.get("epoch", 0),
+            "global_step": ckpt.get("global_step", 0),
+            "stats": ckpt.get("stats", {}),
+        }
+        print(f"[INFO] imported reference-format checkpoint {path}")
+        return params, meta
     params = _unflatten({k: np.asarray(v) for k, v in ckpt["model"].items()})
     meta = {
         "epoch": ckpt.get("epoch", 0),

@@ -560,6 +560,22 @@ class Trainer:
             H, W = batch.H, batch.W
             out = self.render_image(batch.rays_o, batch.rays_d)
             pred = np.asarray(out["image"]).reshape(H, W, 3)
+            if self.opt.pretrained and self.params_pretrained is not self.params:
+                # side-by-side with the frozen pretrained render
+                # (utils_init_nerf.py:468-472)
+                out_pt = self.render_image(batch.rays_o, batch.rays_d,
+                                           params=self.params_pretrained)
+                pred = np.concatenate(
+                    [pred, np.asarray(out_pt["image"]).reshape(H, W, 3)],
+                    axis=1)
+            if (self.opt.train_conf and self.opt.render_all
+                    and "render_mask" in out):
+                # [rgb | pred_mask | fg | bg] strip (utils_init_nerf.py:474-481)
+                pm = np.asarray(out["render_mask"]).reshape(H, W, -1)
+                pm3 = pm.mean(-1, keepdims=True).repeat(3, -1)
+                fg = np.asarray(out["fg"]["image"]).reshape(H, W, 3)
+                bg = np.asarray(out["bg"]["image"]).reshape(H, W, 3)
+                pred = np.concatenate([pred, pm3, fg, bg], axis=1)
             pred8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
             cv2.imwrite(os.path.join(save_path, name, f"{i:03d}.png"),
                         cv2.cvtColor(pred8, cv2.COLOR_RGB2BGR))

@@ -34,6 +34,27 @@ from customnerf_tpu.guidance.unet import UNet2DCondition, UNetConfig
 from customnerf_tpu.guidance.vae import AutoencoderKL, VAEConfig
 
 
+@jax.custom_vjp
+def specify_gradient(x, gt_grad):
+    """Inject a precomputed gradient (reference ``SpecifyGradient``,
+    sd.py:13-26): forward returns a scalar 1; backward routes ``gt_grad``
+    into ``x``.  The editing trainer uses the equivalent surrogate-loss
+    formulation instead; this utility exists for API parity."""
+    del gt_grad
+    return jnp.ones(())
+
+
+def _sg_fwd(x, gt_grad):
+    return jnp.ones(()), gt_grad
+
+
+def _sg_bwd(gt_grad, ct):
+    return (gt_grad * ct, None)
+
+
+specify_gradient.defvjp(_sg_fwd, _sg_bwd)
+
+
 class StableDiffusionGuidance:
     def __init__(self, opt, dtype: str = "bfloat16"):
         self.opt = opt

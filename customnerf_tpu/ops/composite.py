@@ -28,6 +28,35 @@ def weights_from_alphas(alphas):
     return alphas * jnp.cumprod(shifted, axis=-1)
 
 
+def cdf_phi_s(x, s):
+    """NeuS Φ_s CDF (reference renderer.py:58-62); part of the exposed op
+    surface though the grid pipeline never trains an SDF."""
+    return jax.nn.sigmoid(x * s)
+
+
+def sdf_to_alpha(sdf, s):
+    """SDF → per-section opacity (reference renderer.py:65-72)."""
+    cdf = cdf_phi_s(sdf, s)
+    alpha = (cdf[..., :-1] - cdf[..., 1:]) / (cdf[..., :-1] + 1e-10)
+    return cdf, jnp.clip(alpha, 0.0, None)
+
+
+def sdf_to_w(sdf, s):
+    """SDF → visibility weights (reference renderer.py:75-94)."""
+    cdf, alpha = sdf_to_alpha(sdf, s)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1)
+    w = alpha * jnp.cumprod(shifted, axis=-1)[..., :-1]
+    return cdf, alpha, w
+
+
+def alpha_to_w(alpha):
+    """Opacity → visibility weights (reference renderer.py:97-111)."""
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1)
+    return alpha * jnp.cumprod(shifted, axis=-1)[..., :-1]
+
+
 def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     """Inverse-CDF sampling of new depths from bin weights (NeRF hierarchical
     sampling; reference renderer.py:21-55).

@@ -32,6 +32,12 @@ import numpy as np
 GRID_SIZE = 128
 
 
+# during the first WARMUP_UPDATES grid refreshes every in-bounds cell counts
+# as occupied — a cold grid only marks the init density blob, so geometry
+# outside it would never receive samples (bootstrap deadlock)
+WARMUP_UPDATES = 4
+
+
 @dataclass
 class OccupancyState:
     """Pytree of grid state (grid_size is static aux data)."""
@@ -39,8 +45,8 @@ class OccupancyState:
     density_grid: jnp.ndarray   # [CAS, grid_size**3] fp32
     bitfield: jnp.ndarray       # [CAS * grid_size**3 // 8] uint8 (parity)
     mean_density: jnp.ndarray   # scalar f32
+    iter_density: jnp.ndarray = None  # scalar i32 (traced: no retrace/update)
     grid_size: int = GRID_SIZE
-    iter_density: int = 0
 
 
 def init_state(cascade: int, grid_size: int = GRID_SIZE) -> OccupancyState:
@@ -49,16 +55,16 @@ def init_state(cascade: int, grid_size: int = GRID_SIZE) -> OccupancyState:
         density_grid=jnp.zeros((cascade, n), jnp.float32),
         bitfield=jnp.zeros((cascade * n // 8,), jnp.uint8),
         mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
         grid_size=grid_size,
     )
 
 
 jax.tree_util.register_pytree_node(
     OccupancyState,
-    lambda s: ((s.density_grid, s.bitfield, s.mean_density),
-               (s.grid_size, s.iter_density)),
-    lambda aux, kids: OccupancyState(*kids, grid_size=aux[0],
-                                     iter_density=aux[1]),
+    lambda s: ((s.density_grid, s.bitfield, s.mean_density, s.iter_density),
+               (s.grid_size,)),
+    lambda aux, kids: OccupancyState(*kids, grid_size=aux[0]),
 )
 
 
@@ -86,9 +92,13 @@ def packbits(grid: jnp.ndarray, thresh) -> jnp.ndarray:
 
 def update_grid(state: OccupancyState, density_fn, bound: float,
                 density_thresh: float, key, decay: float = 0.95,
-                chunk: int = 128 ** 3):
+                chunk: int = 2 ** 16):
     """One EMA refresh of all cascades (renderer.py:1659-1717 semantics:
-    full re-query with jitter, EMA max, mean over nonnegative cells)."""
+    full re-query with jitter, EMA max, mean over nonnegative cells).
+
+    chunk bounds the per-call point count: grid-encode intermediates have
+    tiny minor dims that TPU tiling pads to 128 lanes — querying all 128³
+    cells at once materializes tens of GB (observed OOM at compile)."""
     cascade = state.density_grid.shape[0]
     grids = []
     for c in range(cascade):
@@ -107,8 +117,8 @@ def update_grid(state: OccupancyState, density_fn, bound: float,
         density_grid=grid,
         bitfield=packbits(grid, thresh),
         mean_density=mean_density,
-        grid_size=state.grid_size,
         iter_density=state.iter_density + 1,
+        grid_size=state.grid_size,
     )
 
 
@@ -128,7 +138,8 @@ def occupancy_lookup(state: OccupancyState, xyz, bound: float,
     dens = state.density_grid[mip, flat]
     thresh = jnp.minimum(state.mean_density, density_thresh)
     inside = ax <= bound
-    return (dens > thresh) & inside
+    warmup = state.iter_density <= WARMUP_UPDATES
+    return (warmup | (dens > thresh)) & inside
 
 
 def march_rays_occupancy(

@@ -56,7 +56,8 @@ def test_occupancy_lookup_inside_outside():
                 grid[0, x * g * g + y * g + z] = 50.0
     state = OccupancyState(density_grid=jnp.asarray(grid),
                            bitfield=state.bitfield,
-                           mean_density=jnp.float32(0.01))
+                           mean_density=jnp.float32(0.01),
+                           iter_density=jnp.int32(10))
     occ = occupancy_lookup(state, jnp.asarray([[0.0, 0.0, 0.0],
                                                [0.9, 0.9, 0.9],
                                                [5.0, 0.0, 0.0]]),
@@ -74,7 +75,8 @@ def test_march_compacts_occupied_first():
                 grid[0, x * g * g + y * g + z] = 50.0
     state = OccupancyState(density_grid=jnp.asarray(grid),
                            bitfield=state.bitfield,
-                           mean_density=jnp.float32(0.01))
+                           mean_density=jnp.float32(0.01),
+                           iter_density=jnp.int32(10))
 
     o = jnp.asarray([[0.0, 0.0, -0.99]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
@@ -115,7 +117,8 @@ def test_fast_path_matches_dense_on_fully_occupied_grid():
     occ = init_state(cascade=1)
     occ = OccupancyState(
         density_grid=jnp.full_like(occ.density_grid, 1e3),
-        bitfield=occ.bitfield, mean_density=jnp.float32(1e3))
+        bitfield=occ.bitfield, mean_density=jnp.float32(1e3),
+        iter_density=jnp.int32(10))
 
     o = jnp.asarray(np.tile([[0, 0, -0.9]], (8, 1)).astype(np.float32))
     d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
