@@ -119,6 +119,7 @@ class Trainer:
 
         def adam(lr_fn):
             tx = optax.chain(
+                optax.zero_nans(),  # a NaN batch must not poison Adam state
                 optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
                 optax.scale_by_learning_rate(lr_fn),
             )

@@ -65,3 +65,20 @@ def test_reference_state_dict_keys(tmp_path):
     assert ckpt["model"]["network.params"].numel() == 64 * 32 + 64 * 64 + 64 * 64
     assert ckpt["model"]["density_network.params"].numel() == 64 * 64 + 16 * 64
     assert ckpt["model"]["rgb_network.params"].numel() == 64 * 96 + 16 * 64
+
+
+def test_load_checkpoint_autodetects_reference_format(tmp_path):
+    """engine.checkpoint.load_checkpoint must transparently import
+    reference-shaped .pth files (pos_en.embeddings key)."""
+    from customnerf_tpu.engine.checkpoint import load_checkpoint
+
+    field = NeRFField(FieldConfig(grid=BEAR_GRID))
+    params = field.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ref3.pth")
+    export_reference_checkpoint(params, path, epoch=7, global_step=70)
+
+    loaded, meta = load_checkpoint(path)
+    assert meta["epoch"] == 7 and meta["global_step"] == 70
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["grid_table"]),
+        np.asarray(params["params"]["grid_table"]), rtol=1e-6)
