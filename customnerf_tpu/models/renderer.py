@@ -246,6 +246,10 @@ def render_rays_fast(
         occ_state, rays_o, rays_d, nears_, fars_, key_march, s.bound,
         density_thresh, n_coarse=n_coarse, n_keep=n_keep, perturb=perturb)
     valid = valid & ~miss[:, None]
+    # invalid tail slots carry depths of *unoccupied* candidates which can be
+    # SMALLER than the last valid depth → negative deltas → exp overflow →
+    # NaN.  Pin them to far so the depth sequence stays monotone.
+    z = jnp.where(valid, z, fars_[:, None])
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     xyz = jnp.clip(xyz, aabb[:3], aabb[3:])

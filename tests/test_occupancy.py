@@ -129,3 +129,53 @@ def test_fast_path_matches_dense_on_fully_occupied_grid():
     np.testing.assert_allclose(np.asarray(fast["image"]),
                                np.asarray(dense["image"]), atol=0.05)
     assert "fg" in fast and "bg" in fast
+
+
+def test_fast_path_monotone_depths_no_nan_with_hot_density():
+    """Regression: invalid tail slots used to keep unoccupied candidates'
+    (smaller) depths → negative deltas → exp overflow → NaN once warmup
+    ended.  Depths must be monotone and grads finite even with extreme
+    densities."""
+    import jax
+    from customnerf_tpu.models.field import FieldConfig, NeRFField
+    from customnerf_tpu.models.renderer import RenderSettings, render_rays_fast
+    from customnerf_tpu.ops.grid import GridSpec
+
+    grid = GridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                    log2_hashmap_size=10, desired_resolution=32,
+                    gridtype="tiled")
+    field = NeRFField(FieldConfig(grid=grid, bound=1.0))
+    params = field.init_params(jax.random.PRNGKey(0))
+    # blow up densities: scale the density head output kernel hard
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    dk = params["params"]["density_net"]["out"]["kernel"]
+    params["params"]["density_net"]["out"]["kernel"] = dk * 0.0 + 5.0
+
+    # sparse occupancy: only a thin slab occupied mid-ray
+    g = GRID_SIZE
+    dens = np.zeros((1, g ** 3), np.float32)
+    sl = slice(g // 2 - 2, g // 2 + 2)
+    for x in range(g):
+        for y in range(g):
+            for z in range(sl.start, sl.stop):
+                dens[0, x * g * g + y * g + z] = 50.0
+    occ = OccupancyState(density_grid=jnp.asarray(dens),
+                         bitfield=init_state(1).bitfield,
+                         mean_density=jnp.float32(0.01),
+                         iter_density=jnp.int32(10))
+
+    o = jnp.asarray(np.tile([[0, 0, -0.9]], (8, 1)).astype(np.float32))
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+    s = RenderSettings(bound=1.0, num_steps=16, upsample_steps=0,
+                       soft_mask=True)
+
+    def loss(p):
+        out = render_rays_fast(field, p, o, d, occ, jax.random.PRNGKey(1), s,
+                               density_thresh=10.0, n_coarse=64, n_keep=16,
+                               train=True, perturb=True)
+        return jnp.sum(out["image"] ** 2) + jnp.sum(out["depth"] ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree_util.tree_leaves(grads))
