@@ -25,8 +25,6 @@ Semantics preserved:
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

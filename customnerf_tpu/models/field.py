@@ -115,8 +115,7 @@ class NeRFField(nn.Module):
                                output_activation="sigmoid",
                                use_bias=c.use_bias, dtype=dt, name="rgb_net")
             if c.train_conf:
-                conf_in = c.hidden if c.mask_no_dir else c.dir_dim + c.hidden
-                del conf_in  # input dim implied by call site
+                # conf-net input dim is implied by its call site
                 self.conf_net = MLP(out_dim=c.conf_channels, hidden=c.hidden,
                                     n_hidden=1, output_activation="sigmoid",
                                     use_bias=c.use_bias, dtype=dt, name="conf_net")

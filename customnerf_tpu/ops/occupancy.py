@@ -23,7 +23,6 @@ the smallest cascade containing it (``mip_from_pos``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
