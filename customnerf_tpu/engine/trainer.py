@@ -484,9 +484,14 @@ class Trainer:
             rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
         for i in range(0, N + pad, chunk):
             self.root_key, key = jax.random.split(self.root_key)
-            outs.append(render_chunk(params, self.occ_state,
-                                     rays_o[i:i + chunk],
-                                     rays_d[i:i + chunk], key, perturb=perturb))
+            o_c, d_c = rays_o[i:i + chunk], rays_d[i:i + chunk]
+            if self.mesh is not None:
+                # eval/test rendering is data-parallel too: each chunk's rays
+                # split across the mesh (the reference's DDP eval all_gather
+                # analog, utils_init_nerf.py:709-726 — here XLA gathers)
+                o_c, d_c = shard_batch(self.mesh, (o_c, d_c))
+            outs.append(render_chunk(params, self.occ_state, o_c, d_c, key,
+                                     perturb=perturb))
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *outs)
         merged = jax.tree_util.tree_map(lambda x: x[:N], merged)
         return merged

@@ -8,7 +8,10 @@ to ``min_near``.  Pure ``jnp`` — XLA fuses this into the surrounding render.
 
 import jax.numpy as jnp
 
-_MISS = jnp.float32(3.4028235e38)  # FLT_MAX, matching the CUDA miss sentinel
+# FLT_MAX miss sentinel (CUDA parity).  Plain Python float — creating a jnp
+# scalar at import time would initialize the JAX backend before callers can
+# select a platform.
+_MISS = 3.4028235e38
 
 
 def near_far_from_aabb(rays_o, rays_d, aabb, min_near: float = 0.05):
