@@ -126,7 +126,10 @@ def _build_editing_step(trainer):
         img = jnp.where(use_fg > 0.5, pred_rgb_fg, pred_rgb)
         img512 = jax.image.resize(img[None], (1, 512, 512, 3),
                                   method="bilinear")
-        latents = encode_imgs(vae_params, img512, k_vae)
+        # remat the VAE encoder: its 512² activations dominate the backward's
+        # live set (SURVEY.md §7 "SDS loop memory")
+        latents = jax.checkpoint(
+            lambda vp, im: encode_imgs(vp, im, k_vae))(vae_params, img512)
         return latents, (pred_rgb_bg, pred_mask)
 
     # H, W are static per dataset; build closures lazily keyed by shape

@@ -546,6 +546,17 @@ class Trainer:
         self.stats["valid_loss"].append(-mean_psnr)
         self.stats["results"].append(-mean_psnr)
 
+        # best checkpoint → {name}.pth ('min' mode over results, i.e. max
+        # PSNR here; reference utils_init_nerf.py:817-833)
+        best = self.stats.get("best_result")
+        if best is None or self.stats["results"][-1] < best:
+            self.log(f"[INFO] New best result: {best} --> "
+                     f"{self.stats['results'][-1]}")
+            self.stats["best_result"] = self.stats["results"][-1]
+            ckpt_io.save_checkpoint(
+                os.path.join(self.ckpt_path, f"{self.name}.pth"),
+                self.params, self.epoch, self.global_step, self.stats)
+
     def evaluate(self, loader, name=None):
         self.evaluate_one_epoch(loader, name)
 

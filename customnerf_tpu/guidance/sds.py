@@ -73,8 +73,12 @@ class StableDiffusionGuidance:
         k_unet, k_vae = jax.random.split(key)
         # init on host CPU: compiling a 860M-param init program through a
         # remote TPU tunnel takes minutes; params migrate to device on first
-        # use instead.
-        cpu = jax.devices("cpu")[0]
+        # use instead.  Some TPU plugins expose no 'cpu' backend — fall back
+        # to the default device there.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
         with jax.default_device(cpu):
             latents = jnp.zeros((1, 8, 8, 4))
             ctx = jnp.zeros((1, 77, cross_dim))
@@ -97,6 +101,16 @@ class StableDiffusionGuidance:
         else:
             print("[WARN] no --sd_weights given: SD runs with random weights "
                   "(framework-functional; provide a local checkpoint for real edits).")
+
+        if dtype == "bfloat16":
+            # store SD params in bf16 on accelerators: the UNet/VAE run in a
+            # bf16 compute policy anyway and fp32 storage (3.4 GB UNet) tips
+            # the editing programs over HBM (observed OOM by 0.8 GB on v5e)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            self.unet_params = cast(self.unet_params)
+            self.vae_params = cast(self.vae_params)
 
         self.scheduler = DDPMSchedule()
         self.num_train_timesteps = self.scheduler.num_train_timesteps

@@ -25,6 +25,9 @@ def _honor_platform_env():
     import jax
     want = os.environ.get("JAX_PLATFORMS")
     if want:
+        if "cpu" not in want:
+            # keep the host cpu backend available (big-model init runs there)
+            want = f"{want},cpu"
         jax.config.update("jax_platforms", want)
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.cache/customnerf_jax"))
