@@ -1,0 +1,62 @@
+"""CLI flag surface: the reference bear.sh recipes must parse."""
+
+import pytest
+
+from customnerf_tpu.config import parse_args
+
+
+def test_bear_reconstruction_flags_parse():
+    opt = parse_args([
+        "-O2", "--data_type", "nerfstudio", "--data_path", "/data/bear",
+        "--keyword", "lang_bear", "--workspace", "outputs/bear_recon",
+        "--iters", "3000", "--train_resolution_level", "7",
+        "--eval_resolution_level", "4", "--bound", "2",
+        "--train_conf", "0.01", "--soft_mask", "--ckpt", "scratch",
+    ])
+    assert opt.fp16 and not opt.cuda_ray        # -O2 macro
+    assert opt.train_resolution_level == 7
+    assert opt.soft_mask and opt.train_conf == 0.01
+
+
+def test_bear_editing_flags_parse():
+    opt = parse_args([
+        "-O2", "--data_type", "nerfstudio", "--data_path", "/data/bear",
+        "--keyword", "lang_bear", "--workspace", "outputs/bear_edit",
+        "--iters", "10000", "--pretrained",
+        "--editing_from", "outputs/bear_recon/checkpoints/df_ep0030.pth",
+        "--text", "a corgi in a forest", "--text_fg", "a corgi",
+        "--lambda_sd", "0.01", "--keep_bg", "1000", "--cfg", "100",
+        "--random_bg_c", "--detach_bg", "--clip_view", "--stage_time",
+        "--sd_version", "1.5", "--train_conf", "0.01", "--soft_mask",
+    ])
+    assert opt.pretrained and opt.stage_time and opt.clip_view
+    assert opt.keep_bg == 1000 and opt.cfg == 100
+    assert opt.text == "a corgi in a forest"
+
+
+def test_o_macro_and_lists():
+    opt = parse_args(["-O", "--dis_scale", "1", "2", "3",
+                      "--video_inter_idxs", "0", "5", "9"])
+    assert opt.fp16 and opt.cuda_ray
+    assert opt.dis_scale == [1.0, 2.0, 3.0]
+    assert opt.video_inter_idxs == [0, 5, 9]
+
+
+def test_store_false_flag():
+    # reference exposes train_all_pixel as store_false
+    assert parse_args([]).train_all_pixel is True
+    assert parse_args(["--train_all_pixel"]).train_all_pixel is False
+
+
+def test_use_cd_and_tpu_extensions():
+    opt = parse_args(["--use_cd", "/path/to/cd", "--backend", "pallas",
+                      "--mesh_shape", "data:8", "--steps_per_dispatch", "4",
+                      "--occ_grid_size", "64"])
+    assert opt.use_cd == "/path/to/cd"
+    assert opt.backend == "pallas"
+    assert opt.mesh_shape == "data:8"
+
+
+def test_invalid_backend_rejected():
+    with pytest.raises((ValueError, SystemExit)):
+        parse_args(["--backend", "cuda"])
