@@ -168,7 +168,11 @@ class Config:
     grid_base_resolution: int = 16
     log2_hashmap_size: int = 21    # reference network_grid.py:89
     desired_resolution: int = 8192  # reference network_grid.py:90
-    grid_type: str = "tiled"       # reference uses 'tiledgrid' (network_grid.py:95)
+    grid_type: str = "tiled"       # "tiled" (reference parity, network_grid.py:95)
+                                   # | "hash" | "triplane" (TPU-tuned low-row field)
+    triplane_res: List[int] = field(default_factory=lambda: [128, 512])
+    triplane_channels: int = 16
+    triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
     profile: bool = False
@@ -185,6 +189,12 @@ class Config:
             raise NotImplementedError(f"--backbone {self.backbone} is not implemented")
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"--backend must be xla|pallas, got {self.backend}")
+        if self.grid_type not in ("tiled", "hash", "triplane"):
+            raise ValueError(
+                f"--grid_type must be tiled|hash|triplane, got {self.grid_type}")
+        if self.triplane_bwd not in ("matmul", "scatter"):
+            raise ValueError(
+                f"--triplane_bwd must be matmul|scatter, got {self.triplane_bwd}")
 
     @property
     def cascade(self) -> int:

@@ -44,18 +44,33 @@ from customnerf_tpu.ops.grid import GridSpec
 from customnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
+def build_encoder_spec(opt):
+    """Position-encoder spec from flags: hash/tiled grid (reference parity)
+    or tri-plane (--grid_type triplane, the TPU-tuned low-row-count field)."""
+    if opt.grid_type == "triplane":
+        from customnerf_tpu.ops.triplane import TriplaneSpec
+        return TriplaneSpec(
+            resolutions=tuple(int(r) for r in opt.triplane_res),
+            channels=opt.triplane_channels,
+            bwd=opt.triplane_bwd,
+            # fwd_bf16 measured end-to-end neutral (the per-eval cast pass
+            # cancels the −16% gather win, docs/PERF.md) — stays opt-in
+        )
+    return GridSpec(
+        input_dim=3,
+        num_levels=opt.grid_levels,
+        level_dim=opt.grid_level_dim,
+        base_resolution=opt.grid_base_resolution,
+        log2_hashmap_size=opt.log2_hashmap_size,
+        desired_resolution=opt.desired_resolution,
+        gridtype=opt.grid_type,
+    )
+
+
 def build_field(opt) -> NeRFField:
     cfg = FieldConfig(
         bound=opt.bound,
-        grid=GridSpec(
-            input_dim=3,
-            num_levels=opt.grid_levels,
-            level_dim=opt.grid_level_dim,
-            base_resolution=opt.grid_base_resolution,
-            log2_hashmap_size=opt.log2_hashmap_size,
-            desired_resolution=opt.desired_resolution,
-            gridtype=opt.grid_type,
-        ),
+        grid=build_encoder_spec(opt),
         train_conf=bool(opt.train_conf),
         conf_channels=2 if opt.keyword2 is not None else 1,
         detach_mask_from_field=opt.detach_mask_from_field,

@@ -33,6 +33,23 @@ import jax.numpy as jnp
 from customnerf_tpu.ops.activations import trunc_exp
 from customnerf_tpu.ops.frequency import freq_encode, freq_encode_dim
 from customnerf_tpu.ops.grid import GridSpec, grid_encode, grid_init
+from customnerf_tpu.ops.triplane import (TriplaneSpec, triplane_encode,
+                                         triplane_init)
+
+
+def encode_positions(x01, table, spec):
+    """Dispatch to the position encoder selected by the spec type: hash/tiled
+    grid (GridSpec, --grid_type hash|tiled) or tri-plane (TriplaneSpec,
+    --grid_type triplane — the TPU-tuned low-row-count field)."""
+    if isinstance(spec, TriplaneSpec):
+        return triplane_encode(x01, table, spec)
+    return grid_encode(x01, table, spec)
+
+
+def encoder_init(key, spec, dtype=jnp.float32):
+    if isinstance(spec, TriplaneSpec):
+        return triplane_init(key, spec, dtype=dtype)
+    return grid_init(key, spec, dtype=dtype)
 
 
 @dataclass(frozen=True)
@@ -97,7 +114,7 @@ class NeRFField(nn.Module):
         c = self.cfg
         dt = jnp.dtype(c.compute_dtype)
         self.table = self.param(
-            "grid_table", lambda key: grid_init(key, c.grid, dtype=jnp.float32)
+            "grid_table", lambda key: encoder_init(key, c.grid, dtype=jnp.float32)
         )
         self.feature_net = MLP(out_dim=c.hidden, hidden=c.hidden, n_hidden=2,
                                use_bias=c.use_bias, dtype=dt, name="feature_net")
@@ -129,7 +146,7 @@ class NeRFField(nn.Module):
 
     def _features(self, x):
         x01 = (x + self.cfg.bound) / (2.0 * self.cfg.bound)
-        x_en = grid_encode(x01, self.table, self.cfg.grid)
+        x_en = encode_positions(x01, self.table, self.cfg.grid)
         return self.feature_net(x_en)
 
     def density(self, x):
@@ -205,7 +222,7 @@ def make_pallas_apply(field: NeRFField, params):
         xf = x.reshape(-1, 3)
         df = d.reshape(-1, 3)
         x01 = (xf + c.bound) / (2.0 * c.bound)
-        x_en = grid_encode(x01, table, c.grid)
+        x_en = encode_positions(x01, table, c.grid)
         view_en = freq_encode(df, c.dir_multires)
         sigma_raw, rgb_raw = fused_field_mlp(x_en, view_en, weights)
         blob = 5.0 * jnp.exp(-jnp.sum(xf * xf, -1) / (2.0 * 0.2 ** 2))

@@ -1,0 +1,379 @@
+"""Tri-plane factorized position encoding — the TPU row-count answer.
+
+The reference's speed comes from a CUDA hash-grid whose per-thread random
+gathers (``gridencoder/src/gridencoder.cu:88-244``) have no fast TPU
+equivalent: the TPU gather unit is row-issue-bound (~12 ns/row fwd,
+~90 ns/row scatter bwd, docs/PERF.md), and an instant-ngp sample costs
+``levels × 8`` rows (128 at the 16×2 parity config).  This module provides a
+TensoRF/EG3D-family tri-plane field — selected via ``--grid_type triplane``
+behind the same encoder API — that needs only **4 rows per plane-level**
+(12 per level across the three planes), an order of magnitude fewer.
+
+TPU-first design points:
+  * forward: per-plane bilinear interpolation as 4 row-gathers + a static
+    corner-sum matmul; all sizeable intermediates stay 2-D with the corner ×
+    channel product folded into the minor dim (TPU tiling discipline, see
+    ops/grid.py).
+  * backward (``bwd="matmul"``): the table gradient is computed **without any
+    scatter** — the reference uses ``atomicAdd`` (gridencoder.cu:248-339) and
+    plain XLA scatter-add costs ~90 ns/row; instead we exploit separability:
+
+        dT[u, v, c] = Σ_b U[b, u] · V[b, v] · g[b, c]
+
+    with U/V the 2-nonzero bilinear weight matrices.  Built per chunk on the
+    VPU (iota-compare) and contracted on the MXU as ``Uᵀ @ (V ⊗ g)`` — a
+    dense, deterministic matmul replacing millions of random writes.
+  * ``bwd="scatter"`` keeps plain autodiff (jnp.take → scatter-add) as the
+    correctness oracle.
+
+Semantics shared with the grid encoder (ops/grid.py): inputs live in [0, 1]³,
+out-of-range inputs produce zeros, tables init U(−1e-4, 1e-4).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# plane axis pairs: XY, XZ, YZ
+_PLANES = ((0, 1), (0, 2), (1, 2))
+
+
+@dataclass(frozen=True)
+class TriplaneSpec:
+    """Static metadata for a (multi-resolution) tri-plane encoding."""
+
+    resolutions: Tuple[int, ...] = (128, 512)
+    channels: int = 16
+    input_dim: int = 3
+    bwd: str = "matmul"        # "matmul" (MXU, scatter-free) | "scatter" (autodiff)
+    mm_bf16: bool = True       # run the backward matmuls in bf16 (f32 accumulate)
+    bwd_chunk: int = 4096      # samples per backward matmul chunk
+    pack_span: int = 7         # packed-row v-span S (fwd row = 2(S+1)C channels)
+    fwd_bf16: bool = False     # gather bf16 packed rows (−16% fwd, matches the
+                               # reference's fp16 embeddings, grid.py:45-47)
+
+    def __post_init__(self):
+        assert self.input_dim == 3, "tri-plane encoding requires 3-D inputs"
+        assert all(r >= 2 for r in self.resolutions)
+        assert self.bwd in ("matmul", "scatter")
+
+    @property
+    def level_dim(self) -> int:  # API parity with GridSpec
+        return self.channels
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.resolutions)
+
+    @property
+    def output_dim(self) -> int:
+        return 3 * self.channels * len(self.resolutions)
+
+    @functools.cached_property
+    def plane_offsets(self):
+        """Row offset of each (level, plane) block in the flat table."""
+        offs = np.zeros((len(self.resolutions), 3), dtype=np.int64)
+        acc = 0
+        for li, r in enumerate(self.resolutions):
+            for pi in range(3):
+                offs[li, pi] = acc
+                acc += r * r
+        return offs
+
+    @property
+    def table_size(self) -> int:
+        return int(sum(3 * r * r for r in self.resolutions))
+
+
+def triplane_init(key, spec: TriplaneSpec, dtype=jnp.float32):
+    """Flat table [table_size, channels], U(−1e-4, 1e-4) (grid_init parity)."""
+    return jax.random.uniform(
+        key, (spec.table_size, spec.channels), dtype=dtype,
+        minval=-1e-4, maxval=1e-4,
+    )
+
+
+def _corner_data(x, spec: TriplaneSpec):
+    """Per (level, plane) integer corners + bilinear weights.
+
+    Returns a list over (level, plane) of (idx [B, 4] int32, w [B, 4] f32,
+    fu [B], fv [B], u0 [B], v0 [B], axes (a, b), R).
+    """
+    out = []
+    for li, R in enumerate(spec.resolutions):
+        pos = x * (R - 1)                       # align_corners: texel centres
+        p0 = jnp.clip(jnp.floor(pos), 0, R - 2).astype(jnp.int32)
+        f = pos - p0.astype(jnp.float32)        # stays correct at the border
+        for pi, (a, b) in enumerate(_PLANES):
+            base = int(spec.plane_offsets[li, pi])
+            u0, v0 = p0[:, a], p0[:, b]
+            fu, fv = f[:, a], f[:, b]
+            i00 = base + u0 * R + v0
+            idx = jnp.stack([i00, i00 + 1, i00 + R, i00 + R + 1], axis=1)
+            w = jnp.stack(
+                [(1 - fu) * (1 - fv), (1 - fu) * fv, fu * (1 - fv), fu * fv],
+                axis=1,
+            )
+            out.append((idx, w, fu, fv, u0, v0, (a, b), R))
+    return out
+
+
+def _fold_matrix(K: int, C: int):
+    """Static [K·C, C] matmul that sums K interleaved C-blocks — keeps the
+    big intermediate 2-D ([B, K·C]) instead of [B, K, C] (tiling discipline)."""
+    S = np.zeros((K * C, C), np.float32)
+    for k in range(K):
+        for c in range(C):
+            S[k * C + c, c] = 1.0
+    return jnp.asarray(S)
+
+
+def _corner_sum_matrix(C: int):
+    return _fold_matrix(4, C)
+
+
+def _pack_plane(tblock, R: int, C: int, S: int):
+    """One plane [R·R, C] → overlapping patch rows [(R−1)·nv, 2(S+1)C].
+
+    Packed row (k, m) holds the 2×(S+1) texel patch T[k:k+2, mS:mS+S+1]
+    flattened, so any bilinear corner quad (u0, v0) lives entirely in the
+    single row (u0, v0 // S).  This turns the 4 narrow gather rows per plane
+    into ONE wide row: the TPU gather unit is row-issue-bound (~12-18 ns/row
+    regardless of width up to ~128 lanes, docs/PERF.md), so fewer, wider rows
+    are strictly faster.  Costs 2·(S+1)/S ≈ 2.3× table bytes, built on the
+    fly from the logical table (pure slices/concats — BW-cheap)."""
+    nv = -(-(R - 1) // S)
+    T = tblock.reshape(R, R, C)
+    T = jnp.pad(T, ((0, 0), (0, nv * S + 1 - R), (0, 0)))
+
+    def windows(Tu):
+        main = Tu[:, :nv * S].reshape(R - 1, nv, S, C)
+        nxt = Tu[:, S::S][:, :nv].reshape(R - 1, nv, 1, C)
+        return jnp.concatenate([main, nxt], axis=2).reshape(
+            R - 1, nv, (S + 1) * C)
+
+    packed = jnp.concatenate([windows(T[:-1]), windows(T[1:])], axis=-1)
+    return packed.reshape((R - 1) * nv, 2 * (S + 1) * C), nv
+
+
+def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
+    """Forward via packed single-row gathers (the fast path used under the
+    matmul-backward custom_vjp; numerically identical to :func:`_encode_impl`
+    up to matmul precision)."""
+    C, S = spec.channels, spec.pack_span
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, 3).astype(jnp.float32)
+    B = x.shape[0]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+    S4 = _corner_sum_matrix(C)
+    fold = _fold_matrix(S + 1, C)
+    iota = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
+
+    outs, vals_all = [], []
+    for k, (idx, w, fu, fv, u0, v0, _ab, R) in enumerate(_corner_data(x, spec)):
+        base = int(spec.plane_offsets.flatten()[k])
+        tblock = jax.lax.slice_in_dim(table, base, base + R * R, axis=0)
+        if spec.fwd_bf16:
+            tblock = tblock.astype(jnp.bfloat16)
+        packed, nv = _pack_plane(tblock, R, C, S)
+
+        m = v0 // S
+        q = v0 - m * S                                     # in [0, S−1]
+        rows = jnp.take(packed, u0 * nv + m, axis=0)       # [B, 2(S+1)C]
+        rows = rows.astype(jnp.float32)
+        half = (S + 1) * C
+        sel0 = (iota == q[:, None]).astype(jnp.float32)    # [B, S+1]
+        sel1 = (iota == q[:, None] + 1).astype(jnp.float32)
+
+        def pick(row_half, sel):
+            return jnp.dot(row_half * jnp.repeat(sel, C, axis=1), fold,
+                           preferred_element_type=jnp.float32)
+
+        r_u0, r_u1 = rows[:, :half], rows[:, half:]
+        # corner order matches _corner_data: (u,v) (u,v+1) (u+1,v) (u+1,v+1)
+        vals = jnp.concatenate(
+            [pick(r_u0, sel0), pick(r_u0, sel1),
+             pick(r_u1, sel0), pick(r_u1, sel1)], axis=1)  # [B, 4C]
+        if want_vals:
+            vals_all.append(vals)
+        prod = vals * jnp.repeat(w, C, axis=1)
+        outs.append(jnp.dot(prod, S4, preferred_element_type=jnp.float32))
+
+    out = jnp.concatenate(outs, axis=-1).astype(table.dtype)
+    out = jnp.where(oob, jnp.zeros_like(out), out)
+    out = out.reshape(*prefix, spec.output_dim)
+    if want_vals:
+        return out, vals_all, oob
+    return out
+
+
+def _encode_impl(x01, table, spec: TriplaneSpec, want_vals: bool = False):
+    C = spec.channels
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, 3).astype(jnp.float32)
+    B = x.shape[0]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)  # [B, 1]
+    S = _corner_sum_matrix(C)
+
+    outs, vals_all = [], []
+    for idx, w, *_ in _corner_data(x, spec):
+        vals = jnp.take(table, idx.reshape(-1), axis=0)            # [B*4, C]
+        vals = vals.reshape(B, 4 * C).astype(jnp.float32)
+        if want_vals:
+            vals_all.append(vals)
+        prod = vals * jnp.repeat(w, C, axis=1)                     # [B, 4C]
+        outs.append(jnp.dot(prod, S, preferred_element_type=jnp.float32))
+
+    out = jnp.concatenate(outs, axis=-1).astype(table.dtype)
+    out = jnp.where(oob, jnp.zeros_like(out), out)
+    out = out.reshape(*prefix, spec.output_dim)
+    if want_vals:
+        return out, vals_all, oob
+    return out
+
+
+def _plane_dtable(u0, v0, fu, fv, g, R, C, chunk, use_bf16):
+    """Scatter-free table gradient for one plane:
+    dT[u, v*C + c] = Σ_b U[b, u] V[b, v] g[b, c], as chunked MXU matmuls.
+
+    Returns dT flattened to [R*R, C].
+    """
+    B = g.shape[0]
+    Bc = min(chunk, B)
+    n_chunks = -(-B // Bc)
+    pad = n_chunks * Bc - B
+    if pad:
+        # padded rows carry zero gradient → contribute nothing
+        u0 = jnp.pad(u0, (0, pad))
+        v0 = jnp.pad(v0, (0, pad))
+        fu = jnp.pad(fu, (0, pad))
+        fv = jnp.pad(fv, (0, pad))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+
+    mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    iota = jnp.arange(R, dtype=jnp.int32)[None, :]                 # [1, R]
+
+    def body(i, acc):
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, i * Bc, Bc, 0)
+        u0c, v0c, fuc, fvc, gc = sl(u0), sl(v0), sl(fu), sl(fv), sl(g)
+        # 2-nonzero bilinear weight matrices, built on the VPU
+        U = ((iota == u0c[:, None]).astype(jnp.float32) * (1 - fuc)[:, None]
+             + (iota == u0c[:, None] + 1).astype(jnp.float32) * fuc[:, None])
+        V = ((iota == v0c[:, None]).astype(jnp.float32) * (1 - fvc)[:, None]
+             + (iota == v0c[:, None] + 1).astype(jnp.float32) * fvc[:, None])
+        W = (V[:, :, None] * gc[:, None, :]).reshape(Bc, R * C)    # [Bc, R*C]
+        part = jax.lax.dot_general(
+            U.astype(mm_dtype), W.astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),            # Uᵀ @ W
+            preferred_element_type=jnp.float32,
+        )                                                          # [R, R*C]
+        return acc + part
+
+    dT = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((R, R * C), jnp.float32))
+    return dT.reshape(R * R, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _encode_mm(x01, table, spec: TriplaneSpec):
+    return _encode_packed(x01, table, spec)
+
+
+def _encode_mm_fwd(x01, table, spec: TriplaneSpec):
+    out, vals_all, oob = _encode_packed(x01, table, spec, want_vals=True)
+    # zero-size dtype witness (a raw dtype is not a valid residual leaf)
+    return out, (x01, vals_all, oob, jnp.zeros((0,), table.dtype))
+
+
+def _encode_mm_bwd(spec: TriplaneSpec, res, g):
+    x01, vals_all, oob, tdtype_witness = res
+    tdtype = tdtype_witness.dtype
+    C = spec.channels
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, 3).astype(jnp.float32)
+    B = x.shape[0]
+    g = g.reshape(B, spec.output_dim).astype(jnp.float32)
+    g = jnp.where(oob, 0.0, g)                                     # OOB: no grad
+
+    corner = _corner_data(x, spec)
+    # (level, plane) blocks are disjoint and laid out in iteration order, so
+    # the flat-table gradient is a plain concatenation of per-plane blocks.
+    dT_blocks = []
+    dx = jnp.zeros((B, 3), jnp.float32)
+
+    for k, (idx, w, fu, fv, u0, v0, (a, b), R) in enumerate(corner):
+        gk = g[:, k * C:(k + 1) * C]                               # [B, C]
+        dT_blocks.append(_plane_dtable(u0, v0, fu, fv, gk, R, C,
+                                       spec.bwd_chunk, spec.mm_bf16))
+
+        # input gradient from saved corner values (no re-gather):
+        # out = Σ_ij fu_i fv_j vals_ij;  vals layout [B, 4C] = (00, 01, 10, 11)
+        vals = vals_all[k]
+        v00, v01 = vals[:, 0 * C:1 * C], vals[:, 1 * C:2 * C]
+        v10, v11 = vals[:, 2 * C:3 * C], vals[:, 3 * C:4 * C]
+        gv = lambda vv: jnp.sum(gk * vv, axis=-1)                  # [B]
+        dfu = ((gv(v10) - gv(v00)) * (1 - fv) + (gv(v11) - gv(v01)) * fv)
+        dfv = ((gv(v01) - gv(v00)) * (1 - fu) + (gv(v11) - gv(v10)) * fu)
+        dx = dx.at[:, a].add(dfu * (R - 1))
+        dx = dx.at[:, b].add(dfv * (R - 1))
+
+    dx = jnp.where(oob, 0.0, dx).reshape(*prefix, 3)
+    dtable = jnp.concatenate(dT_blocks, axis=0)
+    return dx, dtable.astype(tdtype)
+
+
+_encode_mm.defvjp(_encode_mm_fwd, _encode_mm_bwd)
+
+
+def triplane_encode(x01, table, spec: TriplaneSpec):
+    """Encode positions through the tri-plane field.
+
+    Args:
+      x01:   [..., 3] float32 positions in [0, 1].
+      table: [table_size, channels] flat plane stack (see plane_offsets).
+      spec:  static TriplaneSpec.
+
+    Returns:
+      [..., output_dim] features (table dtype): per level, the XY/XZ/YZ plane
+      features concatenated.
+    """
+    if spec.bwd == "matmul":
+        return _encode_mm(x01, table, spec)
+    return _encode_impl(x01, table, spec)
+
+
+def triplane_encode_reference(x01, table, spec: TriplaneSpec):
+    """Slow per-point NumPy oracle for unit tests."""
+    x = np.asarray(x01, np.float64).reshape(-1, 3)
+    tab = np.asarray(table, np.float64)
+    B = x.shape[0]
+    C = spec.channels
+    out = np.zeros((B, spec.output_dim), np.float64)
+    for bi in range(B):
+        if np.any(x[bi] < 0) or np.any(x[bi] > 1):
+            continue
+        col = 0
+        for li, R in enumerate(spec.resolutions):
+            pos = x[bi] * (R - 1)
+            p0 = np.clip(np.floor(pos), 0, R - 2).astype(np.int64)
+            f = pos - p0
+            for pi, (a, b) in enumerate(_PLANES):
+                base = int(spec.plane_offsets[li, pi])
+                u0, v0 = p0[a], p0[b]
+                fu, fv = f[a], f[b]
+                acc = np.zeros(C)
+                for i in range(2):
+                    for j in range(2):
+                        w = (fu if i else 1 - fu) * (fv if j else 1 - fv)
+                        acc += w * tab[base + (u0 + i) * R + (v0 + j)]
+                out[bi, col:col + C] = acc
+                col += C
+    return out
