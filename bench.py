@@ -1,18 +1,20 @@
 """Benchmark: occupancy-path training-step throughput (rays/sec/chip).
 
-Measures the headline path from BASELINE.md — occupancy-grid march + fused
-field MLP + composite + losses + backward + Adam — at the bear field config
-(tiledgrid 16×2 @ log2 21 / 8192) on one chip.  A dense-path (-O2, 64+64
-two-pass sampling) number is printed as a secondary diagnostic line to
-stderr; the LAST stdout line is the required single JSON record.
+Headline: the TPU-tuned flagship config — tri-plane field (--grid_type
+triplane, scatter-free MXU backward, ops/triplane.py) on the occupancy fast
+path (-O), with 8 steps per dispatch (lax.scan) amortizing the 100-250 ms
+tunnel dispatch latency, measuring the full train step: march + fused field
++ composite + losses + backward + Adam.
+
+Diagnostics (stderr): the reference-parity 16×2 tiled grid (the round-1
+headline), the 8×4 TPU-tuned grid, and the dense -O2 path.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md).  We anchor on
 1.0e6 rays/s as an assumed reference-GPU full-train-step rate (typical
 instant-ngp-style training on a 3090-class GPU at ~10^5-10^6 rays/s);
 vs_baseline = value / 1.0e6, so ≥5.0 meets the BASELINE.json target.
 
-Perf status + optimization plan: docs/PERF.md (the hash-table gather/scatter
-is the current limiter on TPU).
+Perf state + measured breakdowns: docs/PERF.md.
 """
 
 import json
@@ -43,20 +45,14 @@ def main():
                                                 render_rays_fast)
     from customnerf_tpu.ops.grid import GridSpec
     from customnerf_tpu.ops.occupancy import OccupancyState, init_state
+    from customnerf_tpu.ops.triplane import TriplaneSpec
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
     n_rays = 4096 if on_accel else 128
-    iters = 8 if on_accel else 2
-
-    grid = GridSpec(num_levels=16, level_dim=2, base_resolution=16,
-                    log2_hashmap_size=21, desired_resolution=8192,
-                    gridtype="tiled")
-    cfg = FieldConfig(bound=2.0, grid=grid,
-                      compute_dtype="bfloat16" if on_accel else "float32")
-    field = NeRFField(cfg)
-    params = field.init_params(jax.random.PRNGKey(0))
-    tx = optax.adam(5e-4, b1=0.9, b2=0.99, eps=1e-15)
+    iters = 3 if on_accel else 1          # dispatches; each scans spd steps
+    spd = 8 if on_accel else 2            # steps per dispatch (lax.scan)
+    compute = "bfloat16" if on_accel else "float32"
 
     o, d, target, tmask = _rays(n_rays)
     o, d = jnp.asarray(o), jnp.asarray(d)
@@ -75,99 +71,116 @@ def main():
                                    soft_mask=True)
     dense_settings = RenderSettings(bound=2.0, num_steps=64, upsample_steps=64,
                                     soft_mask=True)
+    tx = optax.adam(5e-4, b1=0.9, b2=0.99, eps=1e-15)
 
-    def make_step(render_fn):
+    def make_field(grid):
+        field = NeRFField(FieldConfig(bound=2.0, grid=grid,
+                                      compute_dtype=compute))
+        return field, field.init_params(jax.random.PRNGKey(0))
+
+    def make_scan_step(field, render_fn):
+        """One dispatch = lax.scan of spd full train steps (the trainer's
+        --steps_per_dispatch path; amortizes tunnel dispatch latency)."""
+
         @jax.jit
-        def step(params, opt_state, key):
-            def loss_fn(p):
-                out = render_fn(p, key)
-                loss = jnp.mean((out["image"] - target) ** 2)
-                loss += 0.01 * jnp.mean(
-                    (out["render_mask"][..., 0] - tmask) ** 2)
-                return loss
+        def dispatch(params, opt_state, keys):
+            def body(carry, key):
+                params, opt_state = carry
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+                def loss_fn(p):
+                    out = render_fn(field, p, key)
+                    loss = jnp.mean((out["image"] - target) ** 2)
+                    loss += 0.01 * jnp.mean(
+                        (out["render_mask"][..., 0] - tmask) ** 2)
+                    return loss
 
-        return step
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
 
-    def run(step, tag):
+            (params, opt_state), losses = jax.lax.scan(body,
+                                                       (params, opt_state),
+                                                       keys)
+            return params, opt_state, losses[-1]
+
+        return dispatch
+
+    def run(field, params, render_fn, tag):
+        step = make_scan_step(field, render_fn)
         opt_state = tx.init(params)
         p = params
         key = jax.random.PRNGKey(0)
-        key, sub = jax.random.split(key)
-        p, opt_state, loss = step(p, opt_state, sub)
-        _ = float(loss)  # materialize: block_until_ready is unreliable on tunnels
+
+        def keys():
+            nonlocal key
+            key, *subs = jax.random.split(key, spd + 1)
+            return jnp.stack(subs)
+
+        p, opt_state, loss = step(p, opt_state, keys())
+        _ = float(loss)  # materialize; block_until_ready unreliable on tunnels
         t0 = time.perf_counter()
         for _ in range(iters):
-            key, sub = jax.random.split(key)
-            p, opt_state, loss = step(p, opt_state, sub)
+            p, opt_state, loss = step(p, opt_state, keys())
         _ = float(loss)
         dt = time.perf_counter() - t0
-        rps = n_rays * iters / dt
-        print(f"[bench] {tag}: {rps:.1f} rays/s ({dt / iters * 1e3:.0f} ms/step)",
+        rps = n_rays * iters * spd / dt
+        print(f"[bench] {tag}: {rps:.1f} rays/s "
+              f"({dt / (iters * spd) * 1e3:.0f} ms/step, {spd} steps/dispatch)",
               file=sys.stderr)
         return rps
 
-    fast_rps = run(make_step(
-        lambda p, key: render_rays_fast(
-            field, p, o, d, occ, key, fast_settings, density_thresh=10.0,
-            n_coarse=128, n_keep=64, train=True, perturb=True)), "fast(-O)")
+    def fast(field, p, key):
+        return render_rays_fast(field, p, o, d, occ, key, fast_settings,
+                                density_thresh=10.0, n_coarse=128, n_keep=64,
+                                train=True, perturb=True)
 
-    # TPU-tuned grid (8 levels × 4 ch, same 32-d output): halves gather rows
-    # (docs/PERF.md row-count law); diagnostic line only — the headline stays
-    # on the reference-parity 16×2 layout.
-    try:
-        grid_t = GridSpec(num_levels=8, level_dim=4, base_resolution=16,
-                          log2_hashmap_size=21, desired_resolution=8192,
-                          gridtype="tiled")
-        field_t = NeRFField(FieldConfig(
-            bound=2.0, grid=grid_t,
-            compute_dtype="bfloat16" if on_accel else "float32"))
-        params_t = field_t.init_params(jax.random.PRNGKey(0))
+    def dense(field, p, key):
+        return render_rays(field, p, o, d, key, dense_settings,
+                           train=True, perturb=True)
 
-        @jax.jit
-        def step_t(p, opt_state, key):
-            def loss_fn(pp):
-                out = render_rays_fast(
-                    field_t, pp, o, d, occ, key, fast_settings,
-                    density_thresh=10.0, n_coarse=128, n_keep=64,
-                    train=True, perturb=True)
-                return jnp.mean((out["image"] - target) ** 2)
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, opt_state = tx.update(grads, opt_state)
-            return optax.apply_updates(p, updates), opt_state, loss
+    # ---- headline: tri-plane flagship on the fast path -------------------
+    tri = TriplaneSpec(resolutions=(128, 512) if on_accel else (16, 32),
+                       channels=16 if on_accel else 4, bwd="matmul")
+    field_tri, params_tri = make_field(tri)
+    headline = run(field_tri, params_tri, fast, "fast(-O) triplane 128+512x16")
 
-        ost = tx.init(params_t)
-        pt = params_t
-        key = jax.random.PRNGKey(0)
-        key, sub = jax.random.split(key)
-        pt, ost, loss = step_t(pt, ost, sub)
-        _ = float(loss)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            key, sub = jax.random.split(key)
-            pt, ost, loss = step_t(pt, ost, sub)
-        _ = float(loss)
-        dt = time.perf_counter() - t0
-        print(f"[bench] fast(-O) tuned 8x4 grid: {n_rays * iters / dt:.1f} rays/s",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] tuned-grid diagnostic failed: {e}", file=sys.stderr)
-    try:
-        dense_rps = run(make_step(
-            lambda p, key: render_rays(field, p, o, d, key, dense_settings,
-                                       train=True, perturb=True)), "dense(-O2)")
-    except Exception as e:  # diagnostic only
-        print(f"[bench] dense path failed: {e}", file=sys.stderr)
+    # ---- diagnostics ------------------------------------------------------
+    def diag(fn, tag):
+        try:
+            fn()
+        except Exception as e:
+            print(f"[bench] {tag} diagnostic failed: {e}", file=sys.stderr)
+
+    def parity_grid():
+        grid = GridSpec(num_levels=16, level_dim=2, base_resolution=16,
+                        log2_hashmap_size=21 if on_accel else 10,
+                        desired_resolution=8192 if on_accel else 64,
+                        gridtype="tiled")
+        f, p = make_field(grid)
+        run(f, p, fast, "fast(-O) parity tiledgrid 16x2")
+
+    def tuned_grid():
+        grid = GridSpec(num_levels=8, level_dim=4, base_resolution=16,
+                        log2_hashmap_size=21 if on_accel else 10,
+                        desired_resolution=8192 if on_accel else 64,
+                        gridtype="tiled")
+        f, p = make_field(grid)
+        run(f, p, fast, "fast(-O) tuned tiledgrid 8x4")
+
+    def dense_tri():
+        run(field_tri, params_tri, dense, "dense(-O2) triplane")
+
+    if on_accel:
+        diag(parity_grid, "parity-grid")
+        diag(tuned_grid, "tuned-grid")
+        diag(dense_tri, "dense-triplane")
 
     baseline = 1.0e6
     print(json.dumps({
         "metric": "train_step_rays_per_sec_per_chip",
-        "value": round(fast_rps, 1),
+        "value": round(headline, 1),
         "unit": "rays/s",
-        "vs_baseline": round(fast_rps / baseline, 4),
+        "vs_baseline": round(headline / baseline, 4),
     }))
 
 

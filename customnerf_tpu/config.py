@@ -177,7 +177,9 @@ class Config:
     max_keep_ckpt: int = 5
     profile: bool = False
     occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
-    steps_per_dispatch: int = 1  # lax.scan this many train steps per jit call
+    steps_per_dispatch: int = 0  # lax.scan K train steps per jit call;
+                                 # 0 = auto (8 on TPU, 1 on CPU) — amortizes
+                                 # the 100-250 ms tunnel dispatch latency
 
     def __post_init__(self) -> None:
         if self.O:

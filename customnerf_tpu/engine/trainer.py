@@ -425,7 +425,9 @@ class Trainer:
         self.log(f"==> Start Training {self.workspace} Epoch {self.epoch}, "
                  f"lr={lr_now:.6f} ...")
         pending = []  # (global_step, loss_dict of device scalars)
-        spd = max(int(self.opt.steps_per_dispatch), 1)
+        spd = int(self.opt.steps_per_dispatch)
+        if spd <= 0:  # auto: amortize dispatch latency on accelerators
+            spd = 1 if jax.devices()[0].platform == "cpu" else 8
         if spd > 1 and not self.opt.pretrained:
             batches = list(loader)
             for i in range(0, len(batches), spd):

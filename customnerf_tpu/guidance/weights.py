@@ -109,8 +109,16 @@ def _map_resnet(src, prefix, dst_prefix, assign, with_time=True):
 
 
 def convert_unet(src: Dict[str, np.ndarray], params: dict) -> dict:
+    """diffusers-format UNet state_dict → our Flax param tree.
+
+    Block structure (level/layer counts, which blocks carry attention or
+    down/up-samplers) is inferred from the *target* param tree, so the same
+    mapping serves the full SD 1.5 UNet and the tiny test configs — the
+    source naming schema is diffusers' (`down_blocks.N.resnets.M...`,
+    reference consumes it via `nerf/sd.py:44-65`)."""
     import copy
     tree = copy.deepcopy(_mutable(params))
+    p = tree["params"]
 
     def assign(path, value):
         _set(tree["params"], path, value)
@@ -123,15 +131,17 @@ def convert_unet(src: Dict[str, np.ndarray], params: dict) -> dict:
         assign(f"time_embedding/linear_{i}/bias",
                jnp.asarray(src[f"time_embedding.linear_{i}.bias"]))
 
-    n_levels, layers = 4, 2
+    n_levels = len({k for k in p if k.startswith("down_")
+                    and k.endswith("_resnet_0")})
+    layers = len({k for k in p if k.startswith("down_0_resnet_")})
     for i in range(n_levels):
         for j in range(layers):
             _map_resnet(src, f"down_blocks.{i}.resnets.{j}",
                         f"down_{i}_resnet_{j}", assign)
-            if i < n_levels - 1:
+            if f"down_{i}_attn_{j}" in p:
                 _map_attention(src, f"down_blocks.{i}.attentions.{j}",
                                f"down_{i}_attn_{j}", assign)
-        if i < n_levels - 1:
+        if f"down_{i}_downsample" in p:
             assign(f"down_{i}_downsample/conv/kernel",
                    _conv(src[f"down_blocks.{i}.downsamplers.0.conv.weight"]))
             assign(f"down_{i}_downsample/conv/bias",
@@ -145,10 +155,10 @@ def convert_unet(src: Dict[str, np.ndarray], params: dict) -> dict:
         for j in range(layers + 1):
             _map_resnet(src, f"up_blocks.{i}.resnets.{j}",
                         f"up_{i}_resnet_{j}", assign)
-            if i > 0:
+            if f"up_{i}_attn_{j}" in p:
                 _map_attention(src, f"up_blocks.{i}.attentions.{j}",
                                f"up_{i}_attn_{j}", assign)
-        if i < n_levels - 1:
+        if f"up_{i}_upsample" in p:
             assign(f"up_{i}_upsample/conv/kernel",
                    _conv(src[f"up_blocks.{i}.upsamplers.0.conv.weight"]))
             assign(f"up_{i}_upsample/conv/bias",
@@ -182,16 +192,22 @@ def _map_vae_attn(src, prefix, dst_prefix, assign):
 
 
 def convert_vae(src: Dict[str, np.ndarray], params: dict) -> dict:
+    """diffusers-format VAE state_dict → our Flax param tree (block counts
+    inferred from the target tree, cf. convert_unet)."""
     import copy
     tree = copy.deepcopy(_mutable(params))
 
     def assign(path, value):
         _set(tree["params"], path, value)
 
-    for side, n_res, has_down in (("encoder", 2, True), ("decoder", 3, False)):
+    for side, n_res in (("encoder", 2), ("decoder", 3)):
+        sp = tree["params"][side]
+        blk = "down" if side == "encoder" else "up"
+        blocks = len({k for k in sp if k.startswith(f"{blk}_")
+                      and k.endswith("_resnet_0")})
+        n_res = len({k for k in sp if k.startswith(f"{blk}_0_resnet_")})
         assign(f"{side}/conv_in/kernel", _conv(src[f"{side}.conv_in.weight"]))
         assign(f"{side}/conv_in/bias", jnp.asarray(src[f"{side}.conv_in.bias"]))
-        blocks = 4
         for i in range(blocks):
             dif_block = f"{side}.down_blocks.{i}" if side == "encoder" else f"{side}.up_blocks.{i}"
             our_block = f"down_{i}" if side == "encoder" else f"up_{i}"
@@ -199,17 +215,16 @@ def convert_vae(src: Dict[str, np.ndarray], params: dict) -> dict:
                 _map_resnet(src, f"{dif_block}.resnets.{j}",
                             f"{side}/{our_block}_resnet_{j}", assign,
                             with_time=False)
-            if i < blocks - 1:
-                if side == "encoder":
-                    assign(f"{side}/{our_block}_downsample/kernel",
-                           _conv(src[f"{dif_block}.downsamplers.0.conv.weight"]))
-                    assign(f"{side}/{our_block}_downsample/bias",
-                           jnp.asarray(src[f"{dif_block}.downsamplers.0.conv.bias"]))
-                else:
-                    assign(f"{side}/{our_block}_upsample/kernel",
-                           _conv(src[f"{dif_block}.upsamplers.0.conv.weight"]))
-                    assign(f"{side}/{our_block}_upsample/bias",
-                           jnp.asarray(src[f"{dif_block}.upsamplers.0.conv.bias"]))
+            if side == "encoder" and f"{our_block}_downsample" in sp:
+                assign(f"{side}/{our_block}_downsample/kernel",
+                       _conv(src[f"{dif_block}.downsamplers.0.conv.weight"]))
+                assign(f"{side}/{our_block}_downsample/bias",
+                       jnp.asarray(src[f"{dif_block}.downsamplers.0.conv.bias"]))
+            elif side == "decoder" and f"{our_block}_upsample" in sp:
+                assign(f"{side}/{our_block}_upsample/kernel",
+                       _conv(src[f"{dif_block}.upsamplers.0.conv.weight"]))
+                assign(f"{side}/{our_block}_upsample/bias",
+                       jnp.asarray(src[f"{dif_block}.upsamplers.0.conv.bias"]))
         for j in (0, 1):
             _map_resnet(src, f"{side}.mid_block.resnets.{j}",
                         f"{side}/mid_resnet_{j}", assign, with_time=False)

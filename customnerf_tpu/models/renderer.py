@@ -53,19 +53,30 @@ def _composite(
     s: RenderSettings,
     detach_nonedit: bool = False,
     bg_color=None,
+    const_dt: bool = False,
 ):
     """One masked-cumprod composite (reference weights_sum_i,
-    renderer.py:407-474)."""
+    renderer.py:407-474).
+
+    const_dt=True uses the per-sample march step size as every delta — the
+    occupancy fast path's semantics (each CUDA march sample carries its own
+    dt, raymarching.cu:345-346,501-577; skipped empty space contributes no
+    opacity).  const_dt=False derives deltas from consecutive depths, the
+    dense stratified path's semantics (renderer.py:310-322)."""
     if detach_nonedit and masks is not None:
         # detach_bg: gradients flow only through "edit" points (mask ≥ 0.5)
         edit = jnp.mean(masks, axis=-1) >= 0.5  # [N, T]
         sigmas = jnp.where(edit, sigmas, jax.lax.stop_gradient(sigmas))
         rgbs = jnp.where(edit[..., None], rgbs, jax.lax.stop_gradient(rgbs))
 
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], axis=-1
-    )
+    if const_dt:
+        deltas = jnp.broadcast_to(sample_dist, z_vals.shape)
+    else:
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)],
+            axis=-1,
+        )
     alphas = 1.0 - jnp.exp(-deltas * sigmas)
     weights = weights_from_alphas(alphas)  # [N, T]
 
@@ -188,7 +199,7 @@ def render_rays(
 
 
 def _add_fg_bg(results, sigmas, rgbs, masks, z_all, sample_dist, nears, fars,
-               s: RenderSettings):
+               s: RenderSettings, const_dt: bool = False):
     """fg/bg σ decomposition via the confidence mask (renderer.py:383-405)."""
     if not (s.train_conf and masks is not None):
         return
@@ -204,9 +215,11 @@ def _add_fg_bg(results, sigmas, rgbs, masks, z_all, sample_dist, nears, fars,
     results["edit_mask"] = edit_mask
     results["fg"] = _composite(
         sigmas_fg, rgbs, masks, z_all, sample_dist, nears, fars, s,
+        const_dt=const_dt,
     )
     results["bg"] = _composite(
         sigmas_bg, rgbs, masks, z_all, sample_dist, nears, fars, s,
+        const_dt=const_dt,
     )
 
 
@@ -263,15 +276,17 @@ def render_rays_fast(
     rgbs = radiance[..., :3]
     masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
 
-    # per-sample dt = stratified spacing (the march step size)
+    # per-sample dt = stratified spacing (the march step size); const_dt
+    # composites every kept sample over its own dt — skipped empty space
+    # contributes no opacity, matching the CUDA march's per-step dt
+    # (raymarching.cu:345-346,501-577) instead of z-diffs to the next kept
+    # sample, which would stretch an occupied sample's σ across the gap.
     sample_dist = ((fars_ - nears_) / n_coarse)[:, None]
     nears2, fars2 = nears[:, None], fars[:, None]
 
     results = _composite(
         sigmas, rgbs, masks, z, sample_dist, nears2, fars2, s,
-        detach_nonedit=s.detach_bg, bg_color=bg_color)
-    # dt-based compositing: override deltas with constant dt semantics by
-    # recomputing alphas?  _composite already uses z-diffs; for skipped gaps
-    # the σ=0 tail handles it — keep z-diff deltas (conservative transmit).
-    _add_fg_bg(results, sigmas, rgbs, masks, z, sample_dist, nears2, fars2, s)
+        detach_nonedit=s.detach_bg, bg_color=bg_color, const_dt=True)
+    _add_fg_bg(results, sigmas, rgbs, masks, z, sample_dist, nears2, fars2, s,
+               const_dt=True)
     return results

@@ -179,3 +179,78 @@ def test_fast_path_monotone_depths_no_nan_with_hot_density():
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(t)).all()
                for t in jax.tree_util.tree_leaves(grads))
+
+
+def test_fast_path_const_dt_semantics():
+    """Fast-path composites use the per-sample march dt for every delta
+    (raymarching.cu:345-346 semantics): a depth gap between kept samples
+    must NOT stretch an occupied sample's sigma across the gap."""
+    from customnerf_tpu.models.renderer import RenderSettings, _composite
+
+    s = RenderSettings(bound=1.0)
+    sigmas = jnp.asarray([[1.0, 1.0]])
+    rgbs = jnp.ones((1, 2, 3))
+    z = jnp.asarray([[0.1, 0.9]])          # large gap between kept samples
+    sample_dist = jnp.asarray([[0.1]])     # march step size
+    nears, fars = jnp.asarray([[0.0]]), jnp.asarray([[1.0]])
+
+    out = _composite(sigmas, rgbs, None, z, sample_dist, nears, fars, s,
+                     const_dt=True)
+    a = 1.0 - np.exp(-0.1)                 # alpha from dt, not from z-diff
+    want = a + (1 - a) * a
+    np.testing.assert_allclose(float(out["weights_sum"][0]), want, rtol=1e-5)
+
+    out_zdiff = _composite(sigmas, rgbs, None, z, sample_dist, nears, fars, s,
+                           const_dt=False)
+    a1 = 1.0 - np.exp(-0.8)                # the dense path stretches over gaps
+    np.testing.assert_allclose(float(out_zdiff["weights_sum"][0]),
+                               a1 + (1 - a1) * a, rtol=1e-5)
+
+
+def test_fast_path_matches_dense_on_partially_occupied_grid():
+    """Half-empty grid: the fast path skips unoccupied cells yet must match
+    the dense renderer, because skipped space carries (near-)zero density and
+    kept samples composite over their own dt (VERDICT r1 weak #3)."""
+    from customnerf_tpu.models.field import FieldConfig, NeRFField
+    from customnerf_tpu.models.renderer import (RenderSettings, render_rays,
+                                                render_rays_fast)
+    from customnerf_tpu.ops.grid import GridSpec
+
+    grid = GridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                    log2_hashmap_size=10, desired_resolution=32,
+                    gridtype="tiled")
+    field = NeRFField(FieldConfig(grid=grid, bound=1.0))
+    params = field.init_params(jax.random.PRNGKey(0))
+    # density ~= the central gaussian blob (table init is ±1e-4 noise), so
+    # only cells near the origin are truly occupied
+    s = RenderSettings(bound=1.0, num_steps=64, upsample_steps=0,
+                       soft_mask=True)
+
+    occ = init_state(cascade=1, grid_size=32)
+    g = 32
+    idx = np.arange(g ** 3)
+    zc = idx % g
+    yc = (idx // g) % g
+    xc = idx // (g * g)
+    centers = (np.stack([xc, yc, zc], -1) + 0.5) / g * 2.0 - 1.0
+    occupied = (np.abs(centers) < 0.35).all(-1)
+    dens = np.where(occupied, 1e3, 0.0).astype(np.float32)[None]
+    occ = OccupancyState(density_grid=jnp.asarray(dens),
+                         bitfield=occ.bitfield,
+                         mean_density=jnp.float32(0.5),
+                         iter_density=jnp.int32(10), grid_size=g)
+
+    rng = np.random.RandomState(3)
+    o = np.tile([[0, 0, -0.9]], (16, 1)).astype(np.float32)
+    d = rng.randn(16, 3).astype(np.float32) * 0.08 + np.asarray([0, 0, 1],
+                                                                np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    dense = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
+    fast = render_rays_fast(field, params, o, d, occ, jax.random.PRNGKey(1),
+                            s, density_thresh=10.0, n_coarse=64, n_keep=32)
+    np.testing.assert_allclose(np.asarray(fast["image"]),
+                               np.asarray(dense["image"]), atol=0.05)
+    np.testing.assert_allclose(np.asarray(fast["weights_sum"]),
+                               np.asarray(dense["weights_sum"]), atol=0.05)

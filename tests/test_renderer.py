@@ -132,3 +132,35 @@ def test_tiny_overfit_one_view():
         params, state, loss = step(params, state, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_bg_color_fill_semantics(setup):
+    """Pin the documented bg_color deviation (PARITY.md "deviations"): the
+    reference's run() accepts bg_color but never applies it — its only use
+    (renderer.py:451-453) sits behind an unreachable `if_fg` branch — so
+    --random_bg_c is a pixel-level no-op there on -O2.  We implement the
+    paper's evident intent instead: image = black_image + (1−w_sum)·bg, with
+    the un-filled composite preserved under "black_image", and the fg/bg
+    decomposition composites never receive the fill."""
+    field, params, s, o, d = setup
+    bg = jnp.asarray([0.3, 0.5, 0.7])
+    key = jax.random.PRNGKey(2)
+    out_bg = render_rays(field, params, o, d, key, s, bg_color=bg)
+    out_none = render_rays(field, params, o, d, key, s)
+
+    ws = np.asarray(out_bg["weights_sum"])[:, None]
+    np.testing.assert_allclose(
+        np.asarray(out_bg["image"]),
+        np.asarray(out_bg["black_image"]) + (1 - ws) * np.asarray(bg),
+        rtol=1e-5, atol=1e-6)
+    # the un-filled composite equals the bg_color=None render
+    np.testing.assert_allclose(np.asarray(out_bg["black_image"]),
+                               np.asarray(out_none["image"]),
+                               rtol=1e-5, atol=1e-6)
+    # fg/bg decomposition composites are never bg-filled
+    np.testing.assert_allclose(np.asarray(out_bg["fg"]["image"]),
+                               np.asarray(out_none["fg"]["image"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_bg["bg"]["image"]),
+                               np.asarray(out_none["bg"]["image"]),
+                               rtol=1e-5, atol=1e-6)
