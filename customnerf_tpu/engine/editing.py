@@ -117,12 +117,14 @@ def _build_editing_step(trainer):
 
     def render_to_latents(p, vae_params, rays_o, rays_d, bg_color, use_fg,
                           H, W, k_render, k_vae):
+        # rays may be padded past H·W for even mesh sharding — slice back
         out = render_rays(field, p, rays_o, rays_d, k_render, s,
                           train=True, perturb=True, bg_color=bg_color)
-        pred_rgb = out["image"].reshape(H, W, 3)
-        pred_rgb_fg = out["fg"]["image"].reshape(H, W, 3)
-        pred_rgb_bg = out["bg"]["image"].reshape(H, W, 3)
-        pred_mask = out["render_mask"].reshape(H, W, -1)
+        n = H * W
+        pred_rgb = out["image"][:n].reshape(H, W, 3)
+        pred_rgb_fg = out["fg"]["image"][:n].reshape(H, W, 3)
+        pred_rgb_bg = out["bg"]["image"][:n].reshape(H, W, 3)
+        pred_mask = out["render_mask"][:n].reshape(H, W, -1)
         img = jnp.where(use_fg > 0.5, pred_rgb_fg, pred_rgb)
         img512 = jax.image.resize(img[None], (1, 512, 512, 3),
                                   method="bilinear")
@@ -181,7 +183,8 @@ def _build_editing_step(trainer):
                         non_edit = (pt_mask.mean(-1, keepdims=True)
                                     + pred_mask.mean(-1, keepdims=True)) < 0.5
                         target_bg = jnp.where(
-                            non_edit, gt_rgbs.reshape(H, W, 3), pt_rgb_bg)
+                            non_edit, gt_rgbs[:H * W].reshape(H, W, 3),
+                            pt_rgb_bg)
                     loss_bg = keep_bg * jnp.mean(jnp.abs(target_bg - pred_rgb_bg))
                     loss = loss + loss_bg
                     aux["loss_bg"] = loss_bg
@@ -256,10 +259,210 @@ def editing_step(trainer, batch, key):
 
     t = trainer.guidance.sample_timestep(k_t, trainer.global_step, t_ratio)
 
+    rays_o, rays_d, gt = batch.rays_o, batch.rays_d, batch.rgbs
+    mesh = trainer.mesh
+    if mesh is not None and "data" in mesh.axis_names:
+        # shard the ray axis over the mesh (editing under the mesh: rays on
+        # `data`, params replicated by Trainer.__init__); pad so the shard
+        # divides evenly — render_to_latents slices back to H·W.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from customnerf_tpu.parallel.mesh import pad_to_multiple
+
+        mult = mesh.shape["data"]
+        sh = NamedSharding(mesh, P("data"))
+        rays_o, _ = pad_to_multiple(jnp.asarray(rays_o), mult)
+        rays_d, _ = pad_to_multiple(jnp.asarray(rays_d), mult)
+        gt, _ = pad_to_multiple(jnp.asarray(gt), mult)
+        rays_o = jax.device_put(rays_o, sh)
+        rays_d = jax.device_put(rays_d, sh)
+        gt = jax.device_put(gt, sh)
+
     trainer.params, trainer.opt_state, loss, aux = step(
         trainer.params, trainer.opt_state,
-        batch.rays_o, batch.rays_d, batch.rgbs, bg_arg,
+        rays_o, rays_d, gt, bg_arg,
         pt["pt_rgb_bg"], pt["pt_mask"], text_emb,
         jnp.float32(use_fg), jnp.int32(t), k_step,
     )
     return loss, aux
+
+
+def stack_trees(trees):
+    """Stack a list of identically-structured pytrees on a new leading
+    (scene) axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _build_editing_step_scenes(trainer):
+    """Batched multi-scene editing programs (BASELINE config 5).
+
+    Same three-program split as :func:`_build_editing_step`, vmapped over a
+    leading scene axis: per-scene field params and Adam state are stacked
+    [S, ...] (sharded over the mesh's ``scene`` axis), rays carry
+    [S, N, 3] (sharded ``scene`` × ``data``), and the SD UNet ε-prediction
+    runs as one shared batched call — the shared-UNet design SURVEY.md §7
+    step 9 calls for."""
+    opt = trainer.opt
+    tx = trainer.tx
+    guidance = trainer.guidance
+    s = trainer.settings
+    field = trainer.field
+    sds_loss = guidance.sds_loss_fn()
+    encode_imgs = guidance.encode_imgs_fn()
+    keep_bg = float(opt.keep_bg)
+    lambda_sd = float(opt.lambda_sd)
+
+    def render_to_latents(p, vae_params, rays_o, rays_d, bg_color, use_fg,
+                          H, W, key):
+        k_render, k_vae, _ = jax.random.split(key, 3)
+        out = render_rays(field, p, rays_o, rays_d, k_render, s,
+                          train=True, perturb=True, bg_color=bg_color)
+        n = H * W
+        pred_rgb = out["image"][:n].reshape(H, W, 3)
+        pred_rgb_fg = out["fg"]["image"][:n].reshape(H, W, 3)
+        pred_rgb_bg = out["bg"]["image"][:n].reshape(H, W, 3)
+        img = jnp.where(use_fg > 0.5, pred_rgb_fg, pred_rgb)
+        img512 = jax.image.resize(img[None], (1, 512, 512, 3),
+                                  method="bilinear")
+        latents = jax.checkpoint(
+            lambda vp, im: encode_imgs(vp, im, k_vae))(vae_params, img512)
+        return latents, pred_rgb_bg
+
+    cache = {}
+
+    def get_programs(H, W):
+        if (H, W) in cache:
+            return cache[(H, W)]
+
+        def one_a(params, vae_params, rays_o, rays_d, bg_color, use_fg, key):
+            latents, _ = render_to_latents(params, vae_params, rays_o, rays_d,
+                                           bg_color, use_fg, H, W, key)
+            return latents
+
+        prog_a = jax.jit(jax.vmap(one_a,
+                                  in_axes=(0, None, 0, 0, 0, 0, 0)))
+
+        def one_b(unet_params, latents, text_emb, t, key):
+            grad = jax.grad(
+                lambda l: sds_loss(unet_params, l, text_emb, t, key)[0]
+            )(latents)
+            return grad, 0.5 * jnp.sum(grad ** 2)
+
+        prog_b = jax.jit(jax.vmap(one_b, in_axes=(None, 0, 0, 0, 0)))
+
+        def one_c(params, opt_state, vae_params, rays_o, rays_d,
+                  bg_color, pt_rgb_bg, cotangent, use_fg, key):
+            def loss_fn(p):
+                latents, pred_rgb_bg = render_to_latents(
+                    p, vae_params, rays_o, rays_d, bg_color, use_fg, H, W,
+                    key)
+                loss = 0.0
+                aux = {}
+                if lambda_sd:
+                    loss_sd = jnp.sum(latents * jax.lax.stop_gradient(cotangent))
+                    loss = loss + loss_sd
+                    aux["loss_sds"] = loss_sd
+                if keep_bg:
+                    loss_bg = keep_bg * jnp.mean(jnp.abs(pt_rgb_bg - pred_rgb_bg))
+                    loss = loss + loss_bg
+                    aux["loss_bg"] = loss_bg
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, aux
+
+        prog_c = jax.jit(jax.vmap(one_c,
+                                  in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0)))
+        cache[(H, W)] = (prog_a, prog_b, prog_c)
+        return cache[(H, W)]
+
+    return get_programs
+
+
+def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
+    """One batched multi-scene LGIE editing step (BASELINE config 5).
+
+    Args:
+      batches: list of S RayBatch (one per scene/view).
+      params_s / opt_state_s: per-scene field params and Adam state stacked
+        on a leading scene axis (see :func:`stack_trees`); sharded over the
+        mesh ``scene`` axis when ``--mesh_shape`` has one, with rays sharded
+        over ``data``.  The SD UNet/VAE stay replicated and serve all scenes
+        in one batched ε-prediction.
+      key: per-step key; split per scene (bg color, gate, timestep).
+
+    Returns (params_s, opt_state_s, losses [S]).  Scenes here share the
+    trainer's frozen pretrained model for the keep_bg target (a full
+    multi-scene driver would stack per-scene pretrained params the same way).
+    """
+    opt = trainer.opt
+    if not hasattr(trainer, "text_z"):
+        prepare_text_embeddings(trainer)
+    if "editing_scenes" not in trainer._compiled:
+        trainer._compiled["editing_scenes"] = _build_editing_step_scenes(trainer)
+    get_programs = trainer._compiled["editing_scenes"]
+
+    S = len(batches)
+    H = W = int(np.sqrt(batches[0].rgbs.shape[0]))
+    prog_a, prog_b, prog_c = get_programs(H, W)
+
+    rays_o, rays_d, bgs, pts, texts, use_fgs, ts, keys = ([] for _ in range(8))
+    for i, batch in enumerate(batches):
+        k_bg, k_t, k_step = jax.random.split(jax.random.fold_in(key, i), 3)
+        if opt.random_bg_c:
+            bg = jax.random.uniform(k_bg, (3,))
+        elif opt.white_bg_c:
+            bg = jnp.ones((3,))
+        else:
+            bg = jnp.zeros((3,))
+        pt = _get_pt(trainer, batch, bg if opt.random_bg_c else None)
+        text_z, text_z_fg = _select_text(trainer, pt["match_probs"])
+        t_ratio = 1.0
+        if opt.l_only or (not opt.g_only
+                          and trainer._np_rng.random() >= opt.global_ratio):
+            use_fg, text_emb, t_ratio = 1.0, text_z_fg, opt.local_t_ratio
+        else:
+            use_fg, text_emb = 0.0, text_z
+        t = trainer.guidance.sample_timestep(k_t, trainer.global_step, t_ratio)
+        rays_o.append(jnp.asarray(batch.rays_o))
+        rays_d.append(jnp.asarray(batch.rays_d))
+        bgs.append(bg)
+        pts.append(jnp.asarray(pt["pt_rgb_bg"]))
+        texts.append(text_emb)
+        use_fgs.append(jnp.float32(use_fg))
+        ts.append(jnp.int32(t))
+        keys.append(k_step)
+
+    stack = lambda xs: jnp.stack(xs)
+    rays_o, rays_d = stack(rays_o), stack(rays_d)
+    bgs, pts, texts = stack(bgs), stack(pts), stack(texts)
+    use_fgs, ts, keys = stack(use_fgs), stack(ts), stack(keys)
+
+    mesh = trainer.mesh
+    if mesh is not None and "scene" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh_scene = NamedSharding(mesh, P("scene"))
+        data_ax = "data" if "data" in mesh.axis_names else None
+        sh_rays = NamedSharding(mesh, P("scene", data_ax))
+        rep = NamedSharding(mesh, P())
+        params_s = jax.device_put(params_s, sh_scene)
+        opt_state_s = jax.device_put(opt_state_s, sh_scene)
+        rays_o = jax.device_put(rays_o, sh_rays)
+        rays_d = jax.device_put(rays_d, sh_rays)
+        bgs, pts, texts = (jax.device_put(x, sh_scene) for x in (bgs, pts, texts))
+        use_fgs, ts, keys = (jax.device_put(x, sh_scene)
+                             for x in (use_fgs, ts, keys))
+        guid_vae = jax.device_put(trainer.guidance.vae_params, rep)
+        guid_unet = jax.device_put(trainer.guidance.unet_params, rep)
+    else:
+        guid_vae = trainer.guidance.vae_params
+        guid_unet = trainer.guidance.unet_params
+
+    latents = prog_a(params_s, guid_vae, rays_o, rays_d, bgs, use_fgs, keys)
+    cotangent, loss_sds = prog_b(guid_unet, latents, texts, ts, keys)
+    params_s, opt_state_s, losses, aux = prog_c(
+        params_s, opt_state_s, guid_vae, rays_o, rays_d, bgs, pts,
+        cotangent, use_fgs, keys)
+    return params_s, opt_state_s, losses, dict(aux, loss_sds=loss_sds)
