@@ -96,8 +96,10 @@ class TextEncoder:
             tok_dir = os.path.join(weights_dir, "tokenizer")
             if os.path.isdir(tok_dir):
                 try:
-                    from transformers import CLIPTokenizer
-                    self.tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+                    # native pure-Python CLIP BPE (guidance/bpe.py; validated
+                    # against transformers.CLIPTokenizer in tests/test_bpe.py)
+                    from customnerf_tpu.guidance.bpe import ClipBPETokenizer
+                    self.tokenizer = ClipBPETokenizer.from_dir(tok_dir)
                 except Exception as e:
                     print(f"[WARN] tokenizer load failed ({e}); hash fallback.")
         if self.tokenizer is None:
@@ -109,11 +111,8 @@ class TextEncoder:
         self.hidden_size = cfg.hidden_size
 
     def tokenize(self, prompts: List[str]) -> np.ndarray:
-        if isinstance(self.tokenizer, HashTokenizer):
-            return self.tokenizer(prompts)
-        out = self.tokenizer(prompts, padding="max_length", max_length=MAX_LEN,
-                             truncation=True, return_tensors="np")
-        return out["input_ids"].astype(np.int32)
+        return np.asarray(self.tokenizer(prompts, max_length=MAX_LEN),
+                          dtype=np.int32)
 
     def encode(self, prompts: List[str]) -> jnp.ndarray:
         """[n_prompts] → last_hidden_state [n, 77, hidden]."""
