@@ -31,7 +31,6 @@ import numpy as np
 import optax
 
 from customnerf_tpu.guidance.clip_view import VIEW_NAMES
-from customnerf_tpu.models.renderer import render_rays
 
 
 def prepare_text_embeddings(trainer):
@@ -105,8 +104,6 @@ def _build_editing_step(trainer):
     autodiff graph entirely.
     """
     opt = trainer.opt
-    s = trainer.settings
-    field = trainer.field
     tx = trainer.tx
     guidance = trainer.guidance
     sds_loss = guidance.sds_loss_fn()
@@ -114,12 +111,14 @@ def _build_editing_step(trainer):
     keep_bg = float(opt.keep_bg)
     ori_bg = bool(opt.ori_bg)
     lambda_sd = float(opt.lambda_sd)
+    # honor -O (occupancy fast path) and --backend pallas, like recon does
+    render = trainer._render_fn()
 
-    def render_to_latents(p, vae_params, rays_o, rays_d, bg_color, use_fg,
-                          H, W, k_render, k_vae):
+    def render_to_latents(p, vae_params, occ, rays_o, rays_d, bg_color,
+                          use_fg, H, W, k_render, k_vae):
         # rays may be padded past H·W for even mesh sharding — slice back
-        out = render_rays(field, p, rays_o, rays_d, k_render, s,
-                          train=True, perturb=True, bg_color=bg_color)
+        out = render(p, occ, rays_o, rays_d, k_render, train=True,
+                     perturb=True, bg_color=bg_color)
         n = H * W
         pred_rgb = out["image"][:n].reshape(H, W, 3)
         pred_rgb_fg = out["fg"]["image"][:n].reshape(H, W, 3)
@@ -142,10 +141,11 @@ def _build_editing_step(trainer):
             return cache[(H, W)]
 
         @jax.jit
-        def prog_a(params, vae_params, rays_o, rays_d, bg_color, use_fg, key):
+        def prog_a(params, vae_params, occ, rays_o, rays_d, bg_color, use_fg,
+                   key):
             k_render, k_vae, _ = jax.random.split(key, 3)
-            latents, _ = render_to_latents(params, vae_params, rays_o, rays_d,
-                                           bg_color, use_fg, H, W,
+            latents, _ = render_to_latents(params, vae_params, occ, rays_o,
+                                           rays_d, bg_color, use_fg, H, W,
                                            k_render, k_vae)
             return latents
 
@@ -163,14 +163,15 @@ def _build_editing_step(trainer):
             return grad, loss_sds
 
         @jax.jit
-        def prog_c(params, opt_state, vae_params, rays_o, rays_d, gt_rgbs,
-                   bg_color, pt_rgb_bg, pt_mask, cotangent, use_fg, key):
+        def prog_c(params, opt_state, vae_params, occ, rays_o, rays_d,
+                   gt_rgbs, bg_color, pt_rgb_bg, pt_mask, cotangent, use_fg,
+                   key):
             k_render, k_vae, _ = jax.random.split(key, 3)
 
             def loss_fn(p):
                 latents, (pred_rgb_bg, pred_mask) = render_to_latents(
-                    p, vae_params, rays_o, rays_d, bg_color, use_fg, H, W,
-                    k_render, k_vae)
+                    p, vae_params, occ, rays_o, rays_d, bg_color, use_fg,
+                    H, W, k_render, k_vae)
                 aux = {}
                 loss = 0.0
                 if lambda_sd:
@@ -203,17 +204,18 @@ def _build_editing_step(trainer):
         H, W = int(pt_rgb_bg.shape[0]), int(pt_rgb_bg.shape[1])
         prog_a, prog_b, prog_c = get_programs(H, W)
         vae_params = guidance.vae_params
+        occ = trainer.occ_state
         loss_sds = None
         if lambda_sd:
-            latents = prog_a(params, vae_params, rays_o, rays_d, bg_color,
-                             use_fg, key)
+            latents = prog_a(params, vae_params, occ, rays_o, rays_d,
+                             bg_color, use_fg, key)
             cotangent, loss_sds = prog_b(guidance.unet_params, latents,
                                          text_emb, t, key)
         else:
             cotangent = jnp.zeros((1, 64, 64, 4))
         params, opt_state, loss, aux = prog_c(
-            params, opt_state, vae_params, rays_o, rays_d, gt_rgbs, bg_color,
-            pt_rgb_bg, pt_mask, cotangent, use_fg, key)
+            params, opt_state, vae_params, occ, rays_o, rays_d, gt_rgbs,
+            bg_color, pt_rgb_bg, pt_mask, cotangent, use_fg, key)
         if loss_sds is not None:
             aux = dict(aux, loss_sds=loss_sds)  # reference-comparable value
         return params, opt_state, loss, aux
@@ -305,18 +307,17 @@ def _build_editing_step_scenes(trainer):
     opt = trainer.opt
     tx = trainer.tx
     guidance = trainer.guidance
-    s = trainer.settings
-    field = trainer.field
     sds_loss = guidance.sds_loss_fn()
     encode_imgs = guidance.encode_imgs_fn()
     keep_bg = float(opt.keep_bg)
     lambda_sd = float(opt.lambda_sd)
+    render = trainer._render_fn()
 
-    def render_to_latents(p, vae_params, rays_o, rays_d, bg_color, use_fg,
-                          H, W, key):
+    def render_to_latents(p, vae_params, occ, rays_o, rays_d, bg_color,
+                          use_fg, H, W, key):
         k_render, k_vae, _ = jax.random.split(key, 3)
-        out = render_rays(field, p, rays_o, rays_d, k_render, s,
-                          train=True, perturb=True, bg_color=bg_color)
+        out = render(p, occ, rays_o, rays_d, k_render, train=True,
+                     perturb=True, bg_color=bg_color)
         n = H * W
         pred_rgb = out["image"][:n].reshape(H, W, 3)
         pred_rgb_fg = out["fg"]["image"][:n].reshape(H, W, 3)
@@ -334,13 +335,15 @@ def _build_editing_step_scenes(trainer):
         if (H, W) in cache:
             return cache[(H, W)]
 
-        def one_a(params, vae_params, rays_o, rays_d, bg_color, use_fg, key):
-            latents, _ = render_to_latents(params, vae_params, rays_o, rays_d,
-                                           bg_color, use_fg, H, W, key)
+        def one_a(params, vae_params, occ, rays_o, rays_d, bg_color, use_fg,
+                  key):
+            latents, _ = render_to_latents(params, vae_params, occ, rays_o,
+                                           rays_d, bg_color, use_fg, H, W,
+                                           key)
             return latents
 
         prog_a = jax.jit(jax.vmap(one_a,
-                                  in_axes=(0, None, 0, 0, 0, 0, 0)))
+                                  in_axes=(0, None, None, 0, 0, 0, 0, 0)))
 
         def one_b(unet_params, latents, text_emb, t, key):
             grad = jax.grad(
@@ -350,12 +353,12 @@ def _build_editing_step_scenes(trainer):
 
         prog_b = jax.jit(jax.vmap(one_b, in_axes=(None, 0, 0, 0, 0)))
 
-        def one_c(params, opt_state, vae_params, rays_o, rays_d,
+        def one_c(params, opt_state, vae_params, occ, rays_o, rays_d,
                   bg_color, pt_rgb_bg, cotangent, use_fg, key):
             def loss_fn(p):
                 latents, pred_rgb_bg = render_to_latents(
-                    p, vae_params, rays_o, rays_d, bg_color, use_fg, H, W,
-                    key)
+                    p, vae_params, occ, rays_o, rays_d, bg_color, use_fg,
+                    H, W, key)
                 loss = 0.0
                 aux = {}
                 if lambda_sd:
@@ -373,7 +376,8 @@ def _build_editing_step_scenes(trainer):
             return optax.apply_updates(params, updates), opt_state, loss, aux
 
         prog_c = jax.jit(jax.vmap(one_c,
-                                  in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0)))
+                                  in_axes=(0, 0, None, None, 0, 0, 0, 0, 0,
+                                           0, 0)))
         cache[(H, W)] = (prog_a, prog_b, prog_c)
         return cache[(H, W)]
 
@@ -460,9 +464,11 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
         guid_vae = trainer.guidance.vae_params
         guid_unet = trainer.guidance.unet_params
 
-    latents = prog_a(params_s, guid_vae, rays_o, rays_d, bgs, use_fgs, keys)
+    occ = trainer.occ_state
+    latents = prog_a(params_s, guid_vae, occ, rays_o, rays_d, bgs, use_fgs,
+                     keys)
     cotangent, loss_sds = prog_b(guid_unet, latents, texts, ts, keys)
     params_s, opt_state_s, losses, aux = prog_c(
-        params_s, opt_state_s, guid_vae, rays_o, rays_d, bgs, pts,
+        params_s, opt_state_s, guid_vae, occ, rays_o, rays_d, bgs, pts,
         cotangent, use_fgs, keys)
     return params_s, opt_state_s, losses, dict(aux, loss_sds=loss_sds)

@@ -103,10 +103,18 @@ def update_grid(state: OccupancyState, density_fn, bound: float,
     for c in range(cascade):
         key, sub = jax.random.split(key)
         xyz = _cell_centers(c, bound, sub, state.grid_size)
-        sig = []
-        for i in range(0, xyz.shape[0], chunk):
-            sig.append(density_fn(xyz[i:i + chunk]))
-        sig = jnp.concatenate(sig)
+        n = xyz.shape[0]
+        if n <= chunk:
+            sig = density_fn(xyz)
+        else:
+            # lax.map keeps ONE compiled chunk body instead of unrolling all
+            # G³/chunk copies into the program (compile-time bloat on TPU)
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            if pad:
+                xyz = jnp.concatenate([xyz, xyz[:pad]], axis=0)
+            sig = jax.lax.map(density_fn,
+                              xyz.reshape(n_chunks, chunk, 3)).reshape(-1)[:n]
         grids.append(sig)
     new = jnp.stack(grids)  # [CAS, G³]
     grid = jnp.maximum(state.density_grid * decay, new)
