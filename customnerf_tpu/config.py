@@ -175,6 +175,8 @@ class Config:
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
+    ckpt_format: str = "pth"       # "pth" (reference contract) | "orbax"
+                                   # (async, off-thread flush)
     profile: bool = False
     occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
     steps_per_dispatch: int = 0  # lax.scan K train steps per jit call;
@@ -197,6 +199,9 @@ class Config:
         if self.triplane_bwd not in ("matmul", "scatter"):
             raise ValueError(
                 f"--triplane_bwd must be matmul|scatter, got {self.triplane_bwd}")
+        if self.ckpt_format not in ("pth", "orbax"):
+            raise ValueError(
+                f"--ckpt_format must be pth|orbax, got {self.ckpt_format}")
 
     @property
     def cascade(self) -> int:

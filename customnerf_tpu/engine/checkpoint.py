@@ -126,14 +126,97 @@ def load_checkpoint(path: str, opt_state_template=None) -> Tuple[dict, dict]:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
-    """Lexicographically last .pth (reference utils_init_nerf.py:837-845)."""
-    cands = sorted(glob.glob(os.path.join(ckpt_dir, "*.pth")))
+    """Lexicographically last .pth/.orbax (reference utils_init_nerf.py:837-845)."""
+    cands = sorted(glob.glob(os.path.join(ckpt_dir, "*.pth"))
+                   + glob.glob(os.path.join(ckpt_dir, "*.orbax")))
     return cands[-1] if cands else None
 
 
 def prune_ring(stats: dict, ckpt_dir: str, max_keep: int = 5):
-    """Ring-buffer pruning sparing *0.pth (utils_init_nerf.py:806-815)."""
+    """Ring-buffer pruning sparing *0.* (utils_init_nerf.py:806-815)."""
     while len(stats.get("checkpoints", [])) > max_keep:
         old = os.path.join(ckpt_dir, stats["checkpoints"].pop(0))
-        if os.path.exists(old) and not old.endswith("0.pth"):
+        stem = old[:-len(".orbax")] if old.endswith(".orbax") else old[:-len(".pth")]
+        if stem.endswith("0"):
+            continue
+        if os.path.isdir(old):
+            import shutil
+            shutil.rmtree(old)
+        elif os.path.exists(old):
             os.remove(old)
+
+
+# ----------------------------------------------------------------- orbax
+class OrbaxSaver:
+    """Optional Orbax-backed ASYNC checkpointing (``--ckpt_format orbax``).
+
+    Keeps the reference's directory discipline (``df_ep%04d.orbax`` dirs
+    under ``{workspace}/checkpoints``, same ring policy) but saves the whole
+    state pytree asynchronously off the training thread — the TPU keeps
+    stepping while the previous checkpoint flushes.  The default ``.pth``
+    contract (reference parity) remains untouched.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, params, epoch: int, global_step: int,
+             stats: dict, opt_state=None, extra: Optional[dict] = None):
+        state = {
+            "meta": {
+                "epoch": epoch,
+                "global_step": global_step,
+                "stats_pickle": np.frombuffer(pickle.dumps(stats),
+                                              dtype=np.uint8),
+            },
+            "model": _to_builtin(params),
+        }
+        if opt_state is not None:
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            state["optimizer"] = {
+                "leaves": {str(i): l for i, l in enumerate(leaves)},
+                "treedef": np.frombuffer(pickle.dumps(treedef),
+                                         dtype=np.uint8),
+            }
+        if extra:
+            state["meta"].update(extra)
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        self._ckptr.save(path, args=self._ocp.args.PyTreeSave(state))
+        return path
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, opt_state_template=None):
+    """Counterpart loader; returns (params_tree, meta) like load_checkpoint."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    state = ckptr.restore(os.path.abspath(path))
+    meta_raw = state.get("meta", {})
+    meta = {
+        "epoch": int(meta_raw.get("epoch", 0)),
+        "global_step": int(meta_raw.get("global_step", 0)),
+        "stats": pickle.loads(bytes(np.asarray(
+            meta_raw["stats_pickle"], dtype=np.uint8)))
+        if "stats_pickle" in meta_raw else {},
+    }
+    for k in ("mean_count", "mean_density"):
+        if k in meta_raw:
+            meta[k] = meta_raw[k]
+    if "optimizer" in state and opt_state_template is not None:
+        try:
+            treedef = pickle.loads(bytes(np.asarray(
+                state["optimizer"]["treedef"], dtype=np.uint8)))
+            leaves_d = state["optimizer"]["leaves"]
+            leaves = [jnp.asarray(leaves_d[str(i)])
+                      for i in range(len(leaves_d))]
+            meta["opt_state"] = jax.tree_util.tree_unflatten(treedef, leaves)
+        except Exception as e:
+            print(f"[WARN] failed to restore orbax optimizer state: {e}")
+    return state["model"], meta

@@ -631,7 +631,8 @@ class Trainer:
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, name=None, full=True):
         name = name or f"{self.name}_ep{self.epoch:04d}"
-        file_name = f"{name}.pth"
+        use_orbax = self.opt.ckpt_format == "orbax"
+        file_name = f"{name}.orbax" if use_orbax else f"{name}.pth"
         self.stats["checkpoints"].append(file_name)
         ckpt_io.prune_ring(self.stats, self.ckpt_path, self.opt.max_keep_ckpt)
         extra = None
@@ -639,6 +640,14 @@ class Trainer:
             # parity with the reference's cuda_ray extras (§5.4)
             extra = {"mean_density": float(self.occ_state.mean_density),
                      "mean_count": 0}
+        if use_orbax:
+            if not hasattr(self, "_orbax_saver"):
+                self._orbax_saver = ckpt_io.OrbaxSaver()
+            self._orbax_saver.save(
+                os.path.join(self.ckpt_path, file_name), self.params,
+                self.epoch, self.global_step, self.stats,
+                opt_state=self.opt_state if full else None, extra=extra)
+            return
         ckpt_io.save_checkpoint(
             os.path.join(self.ckpt_path, file_name),
             self.params,
@@ -653,7 +662,13 @@ class Trainer:
         if not path or not os.path.exists(str(path)):
             self.log(f"[WARN] checkpoint {path} not found.")
             return
-        params, meta = ckpt_io.load_checkpoint(str(path), self.opt_state)
+        if str(path).endswith(".orbax"):
+            if hasattr(self, "_orbax_saver"):
+                self._orbax_saver.wait()  # don't read a half-written dir
+            params, meta = ckpt_io.load_checkpoint_orbax(str(path),
+                                                         self.opt_state)
+        else:
+            params, meta = ckpt_io.load_checkpoint(str(path), self.opt_state)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.log("[INFO] loaded model.")
         if model_only or not meta:

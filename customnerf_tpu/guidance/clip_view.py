@@ -92,3 +92,42 @@ class CLIPViewMatcher:
         out = self.model(input_ids=self._match_ids, pixel_values=pixel_values,
                          params=self.params)
         return np.asarray(jax.nn.softmax(out.logits_per_image, axis=-1))
+
+
+    def image_embeds(self, images_nhwc) -> np.ndarray:
+        """[B,H,W,3] in [0,1] → L2-normalized CLIP image embeddings."""
+        pixel_values = self.preprocess(jnp.asarray(images_nhwc))
+        out = self.model.get_image_features(pixel_values=pixel_values,
+                                            params=self.params)
+        out = np.asarray(out)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+    def text_embeds(self, prompts: List[str]) -> np.ndarray:
+        """prompts → L2-normalized CLIP text embeddings."""
+        ids = self._tokenize(prompts)
+        out = self.model.get_text_features(input_ids=ids, params=self.params)
+        out = np.asarray(out)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def clip_score(matcher: CLIPViewMatcher, images_nhwc, prompt: str) -> float:
+    """Mean CLIP text-image cosine similarity over rendered views — the
+    paper's Table-1-style editing-quality metric (CustomNeRF reports
+    CLIP-score family metrics; the repo itself reproduces none, SURVEY §6).
+    Meaningful once real CLIP weights are supplied via --clip_weights."""
+    img = matcher.image_embeds(images_nhwc)            # [B, D]
+    txt = matcher.text_embeds([prompt])                # [1, D]
+    return float(np.mean(img @ txt.T))
+
+
+def clip_directional_score(matcher: CLIPViewMatcher, images_before,
+                           images_after, prompt_before: str,
+                           prompt_after: str) -> float:
+    """CLIP directional similarity (Gal et al.): cosine between the image
+    edit direction and the text edit direction, averaged over views.  The
+    standard quantitative editing metric for text-driven 3D edits."""
+    di = matcher.image_embeds(images_after) - matcher.image_embeds(images_before)
+    dt = matcher.text_embeds([prompt_after]) - matcher.text_embeds([prompt_before])
+    di_n = di / np.maximum(np.linalg.norm(di, axis=-1, keepdims=True), 1e-8)
+    dt_n = dt / np.maximum(np.linalg.norm(dt, axis=-1, keepdims=True), 1e-8)
+    return float(np.mean(di_n @ dt_n.T))

@@ -202,3 +202,34 @@ def test_cd_artifact_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(loaded_kv[ours]["to_k"]),
                                    np.asarray(cd_kv[ours]["to_k"]), rtol=1e-6)
     np.testing.assert_allclose(loaded_tok["<new1>"], tok["<new1>"], rtol=1e-6)
+
+
+def test_clip_scores(monkeypatch):
+    """CLIP score + directional score machinery (paper Table-1 analog) on a
+    tiny random-weight CLIP."""
+    import customnerf_tpu.guidance.clip_view as cv
+    from transformers import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+
+    def tiny_cfg():
+        return CLIPConfig.from_text_vision_configs(
+            CLIPTextConfig(vocab_size=49408, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=2, max_position_embeddings=77),
+            CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             image_size=224, patch_size=56),
+            projection_dim=16,
+        )
+
+    monkeypatch.setattr(cv, "_vit_b32_config", tiny_cfg)
+    m = cv.CLIPViewMatcher()
+    imgs_a = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    imgs_b = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+
+    s = cv.clip_score(m, imgs_a, "a corgi")
+    assert -1.0 <= s <= 1.0
+    d = cv.clip_directional_score(m, imgs_a, imgs_b, "a bear", "a corgi")
+    assert -1.0 <= d <= 1.0
+    # identical edits → direction degenerates; score of identical images ~0/1
+    same = cv.clip_directional_score(m, imgs_a, imgs_a, "a bear", "a corgi")
+    assert abs(same) < 1e-3
