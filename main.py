@@ -45,6 +45,12 @@ def main():
     opt = parse_args()
     np.random.seed(opt.seed)
 
+    from customnerf_tpu.parallel.mesh import init_distributed
+    if init_distributed():  # multi-host (env-configured); single-host no-op
+        import jax
+        print(f"[INFO] jax.distributed up: process {jax.process_index()}"
+              f"/{jax.process_count()}, {len(jax.devices())} global devices")
+
     if opt.test:
         trainer = Trainer("df", opt, workspace=opt.workspace,
                           use_checkpoint=opt.ckpt)

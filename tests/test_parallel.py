@@ -81,3 +81,20 @@ def test_sharded_train_step_matches_single_device():
                     jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-6)
+
+
+def test_init_distributed_single_host_noop(monkeypatch):
+    """No coordinator configured → clean no-op (returns False)."""
+    from customnerf_tpu.parallel.mesh import init_distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() is False
+
+
+def test_make_mesh_topology_aware():
+    """Full-device meshes go through mesh_utils.create_device_mesh; subsets
+    still work via reshape."""
+    from customnerf_tpu.parallel.mesh import make_mesh
+    m = make_mesh("scene:2,data:4")          # all 8 virtual devices
+    assert m.axis_names == ("scene", "data") and m.devices.shape == (2, 4)
+    m2 = make_mesh("data:4")                 # subset → reshape path
+    assert m2.devices.shape == (4,)
