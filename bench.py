@@ -44,7 +44,7 @@ def main():
     from customnerf_tpu.models.renderer import (RenderSettings, render_rays,
                                                 render_rays_fast)
     from customnerf_tpu.ops.grid import GridSpec
-    from customnerf_tpu.ops.occupancy import OccupancyState, init_state
+    from customnerf_tpu.ops.occupancy import init_state, state_from_grid
     from customnerf_tpu.ops.triplane import TriplaneSpec
 
     platform = jax.devices()[0].platform
@@ -62,10 +62,8 @@ def main():
     occ = init_state(cascade=2, grid_size=128 if on_accel else 32)
     rng = np.random.RandomState(0)
     dens = (rng.rand(*occ.density_grid.shape) > 0.5).astype(np.float32) * 100.0
-    occ = OccupancyState(density_grid=jnp.asarray(dens), bitfield=occ.bitfield,
-                         mean_density=jnp.float32(1.0),
-                         iter_density=jnp.int32(10),
-                         grid_size=occ.grid_size)
+    occ = state_from_grid(dens, 1.0, density_thresh=10.0,
+                          grid_size=occ.grid_size)
 
     fast_settings = RenderSettings(bound=2.0, num_steps=64, upsample_steps=0,
                                    soft_mask=True)

@@ -89,6 +89,24 @@ def packbits(grid: jnp.ndarray, thresh) -> jnp.ndarray:
     return jnp.sum(occ * shifts, axis=-1).astype(jnp.uint8)
 
 
+def state_from_grid(density_grid, mean_density, density_thresh: float,
+                    iter_density: int = 10,
+                    grid_size: int = GRID_SIZE) -> OccupancyState:
+    """Build a consistent state from a raw density grid: the bitfield (the
+    march's source of truth) is packed with the same threshold rule
+    update_grid uses.  For tests/benches that synthesize grids directly."""
+    density_grid = jnp.asarray(density_grid)
+    mean_density = jnp.float32(mean_density)
+    thresh = jnp.minimum(mean_density, density_thresh)
+    return OccupancyState(
+        density_grid=density_grid,
+        bitfield=packbits(density_grid, thresh),
+        mean_density=mean_density,
+        iter_density=jnp.int32(iter_density),
+        grid_size=grid_size,
+    )
+
+
 def update_grid(state: OccupancyState, density_fn, bound: float,
                 density_thresh: float, key, decay: float = 0.95,
                 chunk: int = 2 ** 16):
@@ -131,7 +149,13 @@ def update_grid(state: OccupancyState, density_fn, bound: float,
 
 def occupancy_lookup(state: OccupancyState, xyz, bound: float,
                      density_thresh: float):
-    """xyz [..., 3] → bool occupied, via the cascade each point lives in."""
+    """xyz [..., 3] → bool occupied, via the cascade each point lives in.
+
+    Reads the packed BITFIELD (8 cells/byte, the reference's
+    ``density_bitfield`` design, raymarching.cu:268-289) rather than the f32
+    grid: the byte table is 64× smaller (256 KB/cascade at 128³), and TPU
+    gathers from small tables run ~2.5× faster per row (docs/PERF.md) — the
+    march does one gather row per candidate, so this is the hot lookup."""
     cascade = state.density_grid.shape[0]
     g = state.grid_size
     ax = jnp.max(jnp.abs(xyz), axis=-1)
@@ -142,11 +166,12 @@ def occupancy_lookup(state: OccupancyState, xyz, bound: float,
     scaled = (xyz / (2.0 * half[..., None]) + 0.5) * g
     cell = jnp.clip(scaled.astype(jnp.int32), 0, g - 1)
     flat = cell[..., 0] * g * g + cell[..., 1] * g + cell[..., 2]
-    dens = state.density_grid[mip, flat]
-    thresh = jnp.minimum(state.mean_density, density_thresh)
+    bit = mip * (g ** 3) + flat
+    byte = state.bitfield[bit // 8]
+    occ_bit = (byte >> (bit % 8).astype(jnp.uint8)) & jnp.uint8(1)
     inside = ax <= bound
     warmup = state.iter_density <= WARMUP_UPDATES
-    return (warmup | (dens > thresh)) & inside
+    return (warmup | (occ_bit > 0)) & inside
 
 
 def march_rays_occupancy(

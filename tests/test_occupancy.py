@@ -12,6 +12,7 @@ from customnerf_tpu.ops.occupancy import (
     march_rays_occupancy,
     occupancy_lookup,
     packbits,
+    state_from_grid,
     update_grid,
 )
 
@@ -54,10 +55,7 @@ def test_occupancy_lookup_inside_outside():
         for y in range(g // 2 - 4, g // 2 + 4):
             for z in range(g // 2 - 4, g // 2 + 4):
                 grid[0, x * g * g + y * g + z] = 50.0
-    state = OccupancyState(density_grid=jnp.asarray(grid),
-                           bitfield=state.bitfield,
-                           mean_density=jnp.float32(0.01),
-                           iter_density=jnp.int32(10))
+    state = state_from_grid(grid, 0.01, density_thresh=10.0)
     occ = occupancy_lookup(state, jnp.asarray([[0.0, 0.0, 0.0],
                                                [0.9, 0.9, 0.9],
                                                [5.0, 0.0, 0.0]]),
@@ -73,10 +71,7 @@ def test_march_compacts_occupied_first():
         for y in range(g // 2 - 8, g // 2 + 8):
             for z in range(g // 2 - 8, g // 2 + 8):
                 grid[0, x * g * g + y * g + z] = 50.0
-    state = OccupancyState(density_grid=jnp.asarray(grid),
-                           bitfield=state.bitfield,
-                           mean_density=jnp.float32(0.01),
-                           iter_density=jnp.int32(10))
+    state = state_from_grid(grid, 0.01, density_thresh=10.0)
 
     o = jnp.asarray([[0.0, 0.0, -0.99]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
@@ -115,10 +110,8 @@ def test_fast_path_matches_dense_on_fully_occupied_grid():
                        soft_mask=True)
 
     occ = init_state(cascade=1)
-    occ = OccupancyState(
-        density_grid=jnp.full_like(occ.density_grid, 1e3),
-        bitfield=occ.bitfield, mean_density=jnp.float32(1e3),
-        iter_density=jnp.int32(10))
+    occ = state_from_grid(jnp.full_like(occ.density_grid, 1e3), 1e3,
+                          density_thresh=10.0)
 
     o = jnp.asarray(np.tile([[0, 0, -0.9]], (8, 1)).astype(np.float32))
     d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
@@ -159,10 +152,7 @@ def test_fast_path_monotone_depths_no_nan_with_hot_density():
         for y in range(g):
             for z in range(sl.start, sl.stop):
                 dens[0, x * g * g + y * g + z] = 50.0
-    occ = OccupancyState(density_grid=jnp.asarray(dens),
-                         bitfield=init_state(1).bitfield,
-                         mean_density=jnp.float32(0.01),
-                         iter_density=jnp.int32(10))
+    occ = state_from_grid(dens, 0.01, density_thresh=10.0)
 
     o = jnp.asarray(np.tile([[0, 0, -0.9]], (8, 1)).astype(np.float32))
     d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
@@ -235,10 +225,7 @@ def test_fast_path_matches_dense_on_partially_occupied_grid():
     centers = (np.stack([xc, yc, zc], -1) + 0.5) / g * 2.0 - 1.0
     occupied = (np.abs(centers) < 0.35).all(-1)
     dens = np.where(occupied, 1e3, 0.0).astype(np.float32)[None]
-    occ = OccupancyState(density_grid=jnp.asarray(dens),
-                         bitfield=occ.bitfield,
-                         mean_density=jnp.float32(0.5),
-                         iter_density=jnp.int32(10), grid_size=g)
+    occ = state_from_grid(dens, 0.5, density_thresh=10.0, grid_size=g)
 
     rng = np.random.RandomState(3)
     o = np.tile([[0, 0, -0.9]], (16, 1)).astype(np.float32)

@@ -133,3 +133,24 @@ def test_bad_grid_type_rejected():
     from customnerf_tpu.config import parse_args
     with pytest.raises(ValueError):
         parse_args(["--grid_type", "bogus"])
+
+
+def test_pallas_dtable_matches_xla_interpret():
+    """The Pallas dT kernel (kept as a measured-negative artifact,
+    ops/triplane_pallas.py) stays numerically exact vs the XLA backward."""
+    from customnerf_tpu.ops.triplane_pallas import plane_dtable_pallas
+    from customnerf_tpu.ops.triplane import _plane_dtable
+
+    rng = np.random.RandomState(0)
+    R, C, B = 16, 4, 100
+    u0 = jnp.asarray(rng.randint(0, R - 1, B).astype(np.int32))
+    v0 = jnp.asarray(rng.randint(0, R - 1, B).astype(np.int32))
+    fu = jnp.asarray(rng.rand(B).astype(np.float32))
+    fv = jnp.asarray(rng.rand(B).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, C).astype(np.float32))
+
+    want = np.asarray(_plane_dtable(u0, v0, fu, fv, g, R, C, chunk=32,
+                                    use_bf16=False))
+    got = np.asarray(plane_dtable_pallas(u0, v0, fu, fv, g, R, C, chunk=32,
+                                         use_bf16=False, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
