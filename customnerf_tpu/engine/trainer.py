@@ -369,6 +369,12 @@ class Trainer:
         mask = jnp.stack([b.mask.reshape(-1) for b in batches])
         rays_o = jnp.stack([b.rays_o for b in batches])
         rays_d = jnp.stack([b.rays_d for b in batches])
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            # steps stacked on axis 0, rays sharded across the mesh on axis 1
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            rgbs, mask, rays_o, rays_d = (
+                jax.device_put(x, sh) for x in (rgbs, mask, rays_o, rays_d))
         self.params, self.opt_state, losses, auxes = many(
             self.params, self.opt_state, self.occ_state, rgbs, mask,
             rays_o, rays_d, jnp.stack(keys))
