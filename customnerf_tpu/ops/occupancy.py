@@ -159,10 +159,15 @@ def occupancy_lookup(state: OccupancyState, xyz, bound: float,
     cascade = state.density_grid.shape[0]
     g = state.grid_size
     ax = jnp.max(jnp.abs(xyz), axis=-1)
-    # smallest cascade c with 2^c > |x|_inf  (c = ceil(log2(ax)) clipped)
-    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(ax, 1e-8))), 0, cascade - 1)
-    mip = mip.astype(jnp.int32)
-    half = jnp.minimum(2.0 ** mip.astype(jnp.float32), bound)
+    # smallest cascade c with 2^c > |x|_inf.  cascade is tiny (1+ceil(log2
+    # bound) ≤ ~3), so branchless compares beat per-point log2/exp2
+    # transcendentals on the VPU — this lookup runs once per march candidate.
+    mip = jnp.zeros(ax.shape, jnp.int32)
+    half = jnp.full(ax.shape, min(1.0, bound), jnp.float32)
+    for c in range(cascade - 1):
+        above = ax > (2.0 ** c)
+        mip = mip + above.astype(jnp.int32)
+        half = jnp.where(above, min(2.0 ** (c + 1), bound), half)
     scaled = (xyz / (2.0 * half[..., None]) + 0.5) * g
     cell = jnp.clip(scaled.astype(jnp.int32), 0, g - 1)
     flat = cell[..., 0] * g * g + cell[..., 1] * g + cell[..., 2]
