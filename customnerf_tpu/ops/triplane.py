@@ -6,14 +6,17 @@ equivalent: the TPU gather unit is row-issue-bound (~12 ns/row fwd,
 ~90 ns/row scatter bwd, docs/PERF.md), and an instant-ngp sample costs
 ``levels × 8`` rows (128 at the 16×2 parity config).  This module provides a
 TensoRF/EG3D-family tri-plane field — selected via ``--grid_type triplane``
-behind the same encoder API — that needs only **4 rows per plane-level**
-(12 per level across the three planes), an order of magnitude fewer.
+behind the same encoder API — that needs only **one packed gather row per
+plane** (3 per level vs the grid's 128 rows/sample), an order of magnitude
+fewer.
 
 TPU-first design points:
-  * forward: per-plane bilinear interpolation as 4 row-gathers + a static
-    corner-sum matmul; all sizeable intermediates stay 2-D with the corner ×
-    channel product folded into the minor dim (TPU tiling discipline, see
-    ops/grid.py).
+  * forward (matmul-bwd path): packed overlapping-row gathers — each plane
+    is re-laid so a single wide row holds the whole 2×(S+1) texel patch
+    around any bilinear quad (:func:`_pack_plane`); corner extraction is an
+    in-register one-hot fold.  The oracle path keeps plain 4-row gathers.
+    All sizeable intermediates stay 2-D with the corner × channel product
+    folded into the minor dim (TPU tiling discipline, see ops/grid.py).
   * backward (``bwd="matmul"``): the table gradient is computed **without any
     scatter** — the reference uses ``atomicAdd`` (gridencoder.cu:248-339) and
     plain XLA scatter-add costs ~90 ns/row; instead we exploit separability:
