@@ -267,12 +267,21 @@ class Trainer:
         if opt.cuda_ray:
             from customnerf_tpu.models.renderer import render_rays_fast
 
+            n_total = max(opt.num_steps + opt.upsample_steps, 2)
+
             def render(p, occ, o, d, key, train, perturb, bg_color=None):
+                # training jitters candidates, so 2× oversampling suffices;
+                # eval renders are deterministic and must not step over thin
+                # surface shells into unsupervised interior points — march at
+                # the reference's inference budget (max_steps candidates ≈
+                # dt 2√3/max_steps, raymarching.cu:345-346 / march_rays)
+                n_coarse = n_total * 2 if train else max(opt.max_steps,
+                                                         n_total * 2)
                 return render_rays_fast(
                     field, p, o, d, occ, key, s,
                     density_thresh=opt.density_thresh,
-                    n_coarse=max(opt.num_steps + opt.upsample_steps, 2) * 2,
-                    n_keep=opt.num_steps + opt.upsample_steps,
+                    n_coarse=n_coarse,
+                    n_keep=n_total,
                     train=train, perturb=perturb, bg_color=bg_color,
                     apply_fns=apply_fns(p))
         else:

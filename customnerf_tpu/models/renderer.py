@@ -255,7 +255,7 @@ def render_rays_fast(
     nears_ = jnp.where(miss, 0.0, nears)
     fars_ = jnp.where(miss, 1.0, fars)
 
-    z, valid = march_rays_occupancy(
+    z, valid, dt_scale = march_rays_occupancy(
         occ_state, rays_o, rays_d, nears_, fars_, key_march, s.bound,
         density_thresh, n_coarse=n_coarse, n_keep=n_keep, perturb=perturb)
     valid = valid & ~miss[:, None]
@@ -276,12 +276,13 @@ def render_rays_fast(
     rgbs = radiance[..., :3]
     masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
 
-    # per-sample dt = stratified spacing (the march step size); const_dt
-    # composites every kept sample over its own dt — skipped empty space
-    # contributes no opacity, matching the CUDA march's per-step dt
-    # (raymarching.cu:345-346,501-577) instead of z-diffs to the next kept
-    # sample, which would stretch an occupied sample's σ across the gap.
-    sample_dist = ((fars_ - nears_) / n_coarse)[:, None]
+    # per-sample dt = stratified spacing (the march step size) × the per-ray
+    # subsample stride; const_dt composites every kept sample over its own
+    # dt — skipped empty space contributes no opacity, matching the CUDA
+    # march's per-step dt (raymarching.cu:345-346,501-577) instead of
+    # z-diffs to the next kept sample, which would stretch an occupied
+    # sample's σ across the gap.
+    sample_dist = ((fars_ - nears_) / n_coarse)[:, None] * dt_scale
     nears2, fars2 = nears[:, None], fars[:, None]
 
     results = _composite(

@@ -192,8 +192,17 @@ def march_rays_occupancy(
 ):
     """Static-shape empty-space-skipping march.
 
-    Returns (z [N, n_keep], valid [N, n_keep] bool): the first n_keep
-    occupied stratified candidates per ray, in depth order.
+    Returns (z [N, n_keep], valid [N, n_keep] bool, dt_scale [N, 1] f32):
+    up to n_keep occupied stratified candidates per ray in depth order.
+
+    When a ray crosses more than n_keep occupied candidates, they are
+    subsampled with an even stride across the WHOLE occupied span — never
+    truncated to the first n_keep, which would exhaust the budget before
+    reaching surfaces behind fat occupancy regions (eval-render speckle).
+    ``dt_scale`` is the per-ray stride (≥1): each kept sample then stands in
+    for that many march steps, so compositing over ``dt·dt_scale`` keeps the
+    quadrature correct (the CUDA march instead enlarges dt with distance,
+    raymarching.cu:345-346 — same budget-bounding role, static-shape form).
     """
     N = rays_o.shape[0]
     u = (jnp.arange(n_coarse, dtype=jnp.float32) + 0.5) / n_coarse
@@ -205,10 +214,22 @@ def march_rays_occupancy(
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(state, xyz, bound, density_thresh)  # [N, T]
 
-    # stable compaction: occupied first (depth order preserved), then rest
-    penalty = jnp.where(occ, 0, n_coarse)
-    rank = penalty + jnp.arange(n_coarse)[None, :]
-    order = jnp.argsort(rank, axis=-1)[:, :n_keep]              # [N, K]
+    # even-stride subsample of occupied candidates (first of each of n_keep
+    # equal rank-buckets) — keeps full-span coverage under a fixed budget
+    occ_i = occ.astype(jnp.int32)
+    count = jnp.cumsum(occ_i, axis=-1)                          # [N, T]
+    n_occ = count[:, -1:]                                       # [N, 1]
+    rank = count - occ_i                                        # 0-based, occupied slots
+    scale = jnp.maximum(n_occ, n_keep)
+    bucket = (rank * n_keep) // scale
+    prev_bucket = jnp.where(rank > 0, ((rank - 1) * n_keep) // scale, -1)
+    keep = occ & (bucket != prev_bucket)
+
+    # stable compaction: kept first (depth order preserved), then rest
+    penalty = jnp.where(keep, 0, n_coarse)
+    order = jnp.argsort(penalty + jnp.arange(n_coarse)[None, :],
+                        axis=-1)[:, :n_keep]                    # [N, K]
     z_keep = jnp.take_along_axis(z, order, axis=-1)
-    valid = jnp.take_along_axis(occ, order, axis=-1)
-    return z_keep, valid
+    valid = jnp.take_along_axis(keep, order, axis=-1)
+    dt_scale = jnp.maximum(n_occ.astype(jnp.float32) / n_keep, 1.0)
+    return z_keep, valid, dt_scale

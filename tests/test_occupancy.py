@@ -77,7 +77,7 @@ def test_march_compacts_occupied_first():
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     nears = jnp.asarray([0.01])
     fars = jnp.asarray([2.0])
-    z, valid = march_rays_occupancy(state, o, d, nears, fars,
+    z, valid, _ = march_rays_occupancy(state, o, d, nears, fars,
                                     jax.random.PRNGKey(0), bound=1.0,
                                     density_thresh=10.0, n_coarse=128,
                                     n_keep=32)
@@ -241,3 +241,46 @@ def test_fast_path_matches_dense_on_partially_occupied_grid():
                                np.asarray(dense["image"]), atol=0.05)
     np.testing.assert_allclose(np.asarray(fast["weights_sum"]),
                                np.asarray(dense["weights_sum"]), atol=0.05)
+
+
+def test_march_strided_subsample_covers_full_span():
+    """When occupied candidates exceed n_keep, the march subsamples evenly
+    across the WHOLE span (never first-K truncation, which starves surfaces
+    behind fat occupancy regions) and reports the quadrature dt scale."""
+    g = 32
+    dens = np.full((1, g ** 3), 100.0, np.float32)     # fully occupied
+    state = state_from_grid(dens, 0.01, density_thresh=10.0, grid_size=g)
+
+    o = jnp.asarray([[0.0, 0.0, -0.99]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    nears, fars = jnp.asarray([0.01]), jnp.asarray([1.9])
+    n_coarse, n_keep = 256, 32
+    z, valid, dt_scale = march_rays_occupancy(
+        state, o, d, nears, fars, jax.random.PRNGKey(0), bound=1.0,
+        density_thresh=10.0, n_coarse=n_coarse, n_keep=n_keep)
+
+    v = np.asarray(valid[0])
+    zz = np.asarray(z[0])
+    assert v.all()                                     # budget fully used
+    # kept samples span the ray, not just its head
+    assert zz[v].max() > 1.7 and zz[v].min() < 0.1
+    # roughly even spacing across the span
+    gaps = np.diff(np.sort(zz[v]))
+    assert gaps.max() < 3.0 * gaps.mean()
+    # dt scale = stride = n_occ / n_keep = 256/32
+    np.testing.assert_allclose(float(dt_scale[0, 0]), n_coarse / n_keep,
+                               rtol=0.05)
+
+    # under-budget rays keep every occupied candidate, scale 1
+    dens2 = np.zeros((1, g ** 3), np.float32)
+    for x in range(g // 2 - 2, g // 2 + 2):
+        for y in range(g // 2 - 2, g // 2 + 2):
+            for zc in range(g // 2 - 2, g // 2 + 2):
+                dens2[0, x * g * g + y * g + zc] = 100.0
+    state2 = state_from_grid(dens2, 0.01, density_thresh=10.0, grid_size=g)
+    z2, valid2, sc2 = march_rays_occupancy(
+        state2, o, d, nears, fars, jax.random.PRNGKey(0), bound=1.0,
+        density_thresh=10.0, n_coarse=n_coarse, n_keep=64)
+    assert float(sc2[0, 0]) == 1.0
+    # every occupied candidate kept when under budget
+    assert int(np.asarray(valid2).sum()) < 64
