@@ -49,9 +49,15 @@ def build_encoder_spec(opt):
     or tri-plane (--grid_type triplane, the TPU-tuned low-row-count field)."""
     if opt.grid_type == "triplane":
         from customnerf_tpu.ops.triplane import TriplaneSpec
+        chans = [int(c) for c in (opt.triplane_channels
+                                  if isinstance(opt.triplane_channels,
+                                                (list, tuple))
+                                  else [opt.triplane_channels])]
+        if len(chans) == 1:
+            chans = chans * len(opt.triplane_res)
         return TriplaneSpec(
             resolutions=tuple(int(r) for r in opt.triplane_res),
-            channels=opt.triplane_channels,
+            channels=tuple(chans),
             bwd=opt.triplane_bwd,
             # fwd_bf16 measured end-to-end neutral (the per-eval cast pass
             # cancels the −16% gather win, docs/PERF.md) — stays opt-in
@@ -279,7 +285,6 @@ class Trainer:
                                                          n_total * 2)
                 return render_rays_fast(
                     field, p, o, d, occ, key, s,
-                    density_thresh=opt.density_thresh,
                     n_coarse=n_coarse,
                     n_keep=n_total,
                     train=train, perturb=perturb, bg_color=bg_color,
@@ -332,6 +337,7 @@ class Trainer:
         amortizes host→device dispatch latency (a TPU-tunnel reality the
         reference never faced; ``--steps_per_dispatch``)."""
         opt, tx = self.opt, self.tx
+        batch_rays = int(opt.batch_rays)
         render = self._render_fn()
 
         @jax.jit
@@ -341,7 +347,15 @@ class Trainer:
                 params, opt_state = carry
                 rgbs, mask, rays_o, rays_d, key = inp
                 # same split order as the single-step path (RNG parity)
-                _key_sel, key_render = jax.random.split(key)
+                key_sel, key_render = jax.random.split(key)
+                if batch_rays:
+                    # same --batch_rays subsample as _pretrain_step_fn —
+                    # multi-step dispatch must not silently change batch
+                    # semantics (ADVICE r2)
+                    n = rays_o.shape[0]
+                    sel = jax.random.permutation(key_sel, n)[:batch_rays]
+                    rgbs, mask = rgbs[sel], mask[sel]
+                    rays_o, rays_d = rays_o[sel], rays_d[sel]
 
                 def loss_fn(p):
                     out = render(p, occ, rays_o, rays_d, key_render,
@@ -378,8 +392,11 @@ class Trainer:
         mask = jnp.stack([b.mask.reshape(-1) for b in batches])
         rays_o = jnp.stack([b.rays_o for b in batches])
         rays_d = jnp.stack([b.rays_d for b in batches])
-        if self.mesh is not None and "data" in self.mesh.axis_names:
+        if (self.mesh is not None and "data" in self.mesh.axis_names
+                and not self.opt.batch_rays):
             # steps stacked on axis 0, rays sharded across the mesh on axis 1
+            # (--batch_rays gathers a random subset inside the step, which
+            # would defeat the static sharding — same opt-out as train_step)
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "data"))
             rgbs, mask, rays_o, rays_d = (
@@ -416,6 +433,7 @@ class Trainer:
     def train(self, train_loader, valid_loader, max_epochs: int):
         start_t = time.time()
         self.save_checkpoint(full=True)
+        profile_epoch = self.epoch + 1 if self.opt.profile else None
         if self.opt.profile:
             # xplane trace of the first epoch (SURVEY.md §5.1: the reference
             # has no profiler; JAX gives us one for free)
@@ -423,7 +441,7 @@ class Trainer:
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
             self.train_one_epoch(train_loader)
-            if self.opt.profile and epoch == self.epoch:
+            if self.opt.profile and epoch == profile_epoch:
                 try:
                     jax.profiler.stop_trace()
                 except Exception:
@@ -433,6 +451,8 @@ class Trainer:
                 self.save_checkpoint(full=True)
                 self.evaluate_one_epoch(valid_loader)
                 self.save_checkpoint(full=True)
+        if hasattr(self, "_orbax_saver"):
+            self._orbax_saver.wait()  # don't exit with a half-flushed ckpt
         self.log(f"[INFO] training takes {(time.time() - start_t) / 60:.4f} minutes.")
 
     def train_one_epoch(self, loader):
@@ -459,6 +479,25 @@ class Trainer:
                     self.global_step += 1
                     pending.append((self.global_step, jax.tree_util.tree_map(
                         lambda x, j=j: x[j], auxes)))
+        elif spd > 1 and self.opt.pretrained:
+            # fused scanned editing: K steps per dispatch (editing analog of
+            # the recon path above; see editing.editing_steps_many)
+            from customnerf_tpu.engine.editing import editing_steps_many
+            batches = list(loader)
+            for i in range(0, len(batches), spd):
+                group = batches[i:i + spd]
+                if (self.opt.cuda_ray and self.global_step
+                        % self.opt.update_extra_interval < len(group)):
+                    self.update_extra_state()
+                keys = []
+                for _ in group:
+                    self.root_key, k = jax.random.split(self.root_key)
+                    keys.append(k)
+                losses, auxes = editing_steps_many(self, group, keys)
+                for j in range(len(group)):
+                    pending.append((
+                        self.global_step - len(group) + j + 1,
+                        jax.tree_util.tree_map(lambda x, j=j: x[j], auxes)))
         else:
             for batch in loader:
                 if (self.opt.cuda_ray
@@ -492,9 +531,11 @@ class Trainer:
         if "render_chunk" not in self._compiled:
             render = self._render_fn()
 
-            @partial(jax.jit, static_argnames=("perturb",))
-            def render_chunk(p, occ, o, d, key, perturb=False):
-                out = render(p, occ, o, d, key, train=False, perturb=perturb)
+            @partial(jax.jit, static_argnames=("perturb", "use_bg"))
+            def render_chunk(p, occ, o, d, key, bg, perturb=False,
+                             use_bg=False):
+                out = render(p, occ, o, d, key, train=False, perturb=perturb,
+                             bg_color=bg if use_bg else None)
                 keep = {k: out[k] for k in
                         ("image", "depth", "weights_sum") if k in out}
                 if "render_mask" in out:
@@ -514,6 +555,8 @@ class Trainer:
         if pad:
             rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
             rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
+        use_bg = bg_color is not None
+        bg = jnp.asarray(bg_color, jnp.float32) if use_bg else jnp.zeros((3,))
         for i in range(0, N + pad, chunk):
             self.root_key, key = jax.random.split(self.root_key)
             o_c, d_c = rays_o[i:i + chunk], rays_d[i:i + chunk]
@@ -523,7 +566,7 @@ class Trainer:
                 # analog, utils_init_nerf.py:709-726 — here XLA gathers)
                 o_c, d_c = shard_batch(self.mesh, (o_c, d_c))
             outs.append(render_chunk(params, self.occ_state, o_c, d_c, key,
-                                     perturb=perturb))
+                                     bg, perturb=perturb, use_bg=use_bg))
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *outs)
         merged = jax.tree_util.tree_map(lambda x: x[:N], merged)
         return merged
@@ -649,6 +692,10 @@ class Trainer:
         use_orbax = self.opt.ckpt_format == "orbax"
         file_name = f"{name}.orbax" if use_orbax else f"{name}.pth"
         self.stats["checkpoints"].append(file_name)
+        if use_orbax and hasattr(self, "_orbax_saver"):
+            # a pruned ring entry may still be flushing asynchronously —
+            # never rmtree a directory mid-commit
+            self._orbax_saver.wait()
         ckpt_io.prune_ring(self.stats, self.ckpt_path, self.opt.max_keep_ckpt)
         extra = None
         if self.occ_state is not None:

@@ -88,8 +88,14 @@ def make_mesh(spec: str = "", devices=None) -> Optional[Mesh]:
     return Mesh(dev_array, axis_names=[n for n, _ in axes])
 
 
-def pad_to_multiple(x, multiple: int, axis: int = 0):
-    """Pad axis 0 so shardings divide evenly; returns (padded, orig_len)."""
+def pad_to_multiple(x, multiple: int, axis: int = 0, mode: str = "constant"):
+    """Pad axis 0 so shardings divide evenly; returns (padded, orig_len).
+
+    mode="edge" replicates the last row instead of zero-filling — required
+    when padding RAYS: a zero-direction ray makes ``near_far_from_aabb``
+    return far=inf, and 0·inf NaNs poison every parameter gradient through
+    the batched matmul VJPs even though the padded outputs are sliced off
+    before the loss (the cotangent is zero but the primal is NaN)."""
     n = x.shape[axis]
     rem = (-n) % multiple
     if rem == 0:
@@ -98,7 +104,7 @@ def pad_to_multiple(x, multiple: int, axis: int = 0):
     pad_width[axis] = (0, rem)
     import jax.numpy as jnp
 
-    return jnp.pad(x, pad_width), n
+    return jnp.pad(x, pad_width, mode=mode), n
 
 
 def shard_batch(mesh: Optional[Mesh], batch, axis_name: str = "data"):

@@ -120,6 +120,26 @@ def test_pt_cache_populated_once(edit_setup, monkeypatch):
     assert set(entry) >= {"pt_rgb_bg", "pt_rgb_fg", "pt_mask", "pt_depth_fg"}
 
 
+def test_render_image_bg_color_fill(edit_setup):
+    """Pin the frozen-render bg_color threading (reference
+    utils_init_nerf.py:243-246 passes bg_color into the pt render): the FULL
+    image gets ``composite + (1−w_sum)·bg`` while the fg/bg decomposition
+    composites stay unfilled (docs/PARITY.md deviation 1)."""
+    trainer, loader = edit_setup
+    batch = loader.item(0)
+    trainer.root_key = jax.random.PRNGKey(42)
+    out_none = trainer.render_image(batch.rays_o, batch.rays_d)
+    trainer.root_key = jax.random.PRNGKey(42)
+    out_white = trainer.render_image(batch.rays_o, batch.rays_d,
+                                     bg_color=jnp.ones(3))
+    ws = np.asarray(out_none["weights_sum"])
+    a, b = np.asarray(out_none["image"]), np.asarray(out_white["image"])
+    assert (1 - ws).max() > 0.01  # scene has empty pixels to fill
+    np.testing.assert_allclose(b, a + (1 - ws)[..., None], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_white["bg"]["image"]),
+                               np.asarray(out_none["bg"]["image"]), atol=1e-5)
+
+
 def test_text_embeddings_prepared(edit_setup):
     trainer, _ = edit_setup
     assert hasattr(trainer, "text_z")

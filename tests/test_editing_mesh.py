@@ -39,13 +39,15 @@ def _patched(monkey):
     monkey.setattr(jax.image, "resize", small_resize)
 
 
-def _make_trainer(ws, mesh_shape=""):
-    opt = _opt(ws, mesh_shape=mesh_shape)
+def _make_trainer(ws, mesh_shape="", **kw):
+    opt = _opt(ws, mesh_shape=mesh_shape, **kw)
     guidance = TinyGuidance(opt)
     return Trainer("df", opt, guidance=guidance, use_checkpoint="scratch")
 
 
 def test_sharded_editing_step_matches_single_device(tmp_path, monkeypatch):
+    import optax
+
     import customnerf_tpu.engine.editing as ed
 
     _patched(monkeypatch)
@@ -57,6 +59,14 @@ def test_sharded_editing_step_matches_single_device(tmp_path, monkeypatch):
     batch = loader.item(0)
 
     for t in (t_single, t_mesh):
+        # plain SGD instead of Adam: one Adam step is ±lr·sign(grad)
+        # (bias-corrected first step), which amplifies a ~1e-7
+        # psum-reordering difference on any near-zero gradient entry into a
+        # full 2·lr flip — the round-2 order-dependent flake.  With SGD the
+        # param delta IS the gradient, so this compares gradients with a
+        # proportional tolerance (the actual sharded≡single claim).
+        t.tx = optax.sgd(1.0)
+        t.opt_state = t.tx.init(jax.tree_util.tree_map(np.asarray, t.params))
         t.global_step = 1
         ed.editing_step(t, batch, jax.random.PRNGKey(7))
 
@@ -65,7 +75,41 @@ def test_sharded_editing_step_matches_single_device(tmp_path, monkeypatch):
     flat_b = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(np.asarray, t_mesh.params))
     for a, b in zip(flat_a, flat_b):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_editing_step_nonsquare_nondivisible(tmp_path, monkeypatch):
+    """Non-square image whose ray count (20·13=260) does NOT divide the
+    data axis (8) → the padding branch runs.  Padded rays must be
+    edge-replicated: a zero-direction pad ray drives near_far_from_aabb to
+    far=inf, 0·inf NaNs the field activations, and the batched matmul VJPs
+    mix that NaN into EVERY parameter gradient even though the padded
+    outputs are sliced off before the loss (ADVICE r2 high)."""
+    import optax
+
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    t_single = _make_trainer(str(tmp_path / "a"), h=20, w=13)
+    t_mesh = _make_trainer(str(tmp_path / "b"), h=20, w=13,
+                           mesh_shape="data:8")
+    loader = NeRFDataset(t_single.opt, type="train").dataloader()
+    batch = loader.item(0)
+    assert batch.H * batch.W % 8 != 0  # the padding branch is exercised
+
+    for t in (t_single, t_mesh):
+        t.tx = optax.sgd(1.0)
+        t.opt_state = t.tx.init(jax.tree_util.tree_map(np.asarray, t.params))
+        t.global_step = 1
+        ed.editing_step(t, batch, jax.random.PRNGKey(11))
+
+    flat_a = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, t_single.params))
+    flat_b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, t_mesh.params))
+    for a, b in zip(flat_a, flat_b):
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
 def test_multi_scene_editing_step(tmp_path, monkeypatch):
@@ -73,11 +117,18 @@ def test_multi_scene_editing_step(tmp_path, monkeypatch):
     one batched step, and sharding does not change the math."""
     import customnerf_tpu.engine.editing as ed
 
+    import optax
+
     _patched(monkeypatch)
     trainer = _make_trainer(str(tmp_path / "m"), mesh_shape="scene:2,data:4")
     loader = NeRFDataset(trainer.opt, type="train").dataloader()
     batches = [loader.item(0), loader.item(1)]
 
+    # SGD for the sharding-independence comparison (see the single-scene
+    # test: Adam's first step amplifies psum-reordering noise into ±lr flips)
+    trainer.tx = optax.sgd(1.0)
+    trainer.opt_state = trainer.tx.init(
+        jax.tree_util.tree_map(np.asarray, trainer.params))
     params_s = ed.stack_trees([trainer.params, trainer.params])
     opt_state_s = ed.stack_trees([trainer.opt_state, trainer.opt_state])
     trainer.global_step = 1
@@ -98,17 +149,49 @@ def test_multi_scene_editing_step(tmp_path, monkeypatch):
 
     # sharding-independence: same step on a fresh trainer without a mesh
     trainer2 = _make_trainer(str(tmp_path / "m2"), mesh_shape="")
+    trainer2.tx = optax.sgd(1.0)
+    trainer2.opt_state = trainer2.tx.init(
+        jax.tree_util.tree_map(np.asarray, trainer2.params))
     trainer2.global_step = 1
     params_s2 = ed.stack_trees([trainer2.params, trainer2.params])
     opt_state_s2 = ed.stack_trees([trainer2.opt_state, trainer2.opt_state])
     p2, _, losses2, _ = ed.editing_step_scenes(
         trainer2, batches, params_s2, opt_state_s2, jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(losses), np.asarray(losses2),
-                               rtol=2e-4, atol=1e-6)
+                               rtol=1e-3, atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=1e-6)
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_multi_scene_editing_step_nonsquare(tmp_path, monkeypatch):
+    """Multi-scene editing on non-square views (the bear capture is 400×300;
+    round 2 derived H=W=√N here, scrambling every non-square image), with a
+    ray count (10·9=90) that does not divide the data axis → padding too."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    trainer = _make_trainer(str(tmp_path / "nsq"),
+                            mesh_shape="scene:2,data:4", h=10, w=9)
+    loader = NeRFDataset(trainer.opt, type="train").dataloader()
+    batches = [loader.item(0), loader.item(1)]
+    assert batches[0].H != batches[0].W
+    assert batches[0].H * batches[0].W % 4 != 0
+
+    params_s = ed.stack_trees([trainer.params, trainer.params])
+    opt_state_s = ed.stack_trees([trainer.opt_state, trainer.opt_state])
+    trainer.global_step = 1
+    p1, _, losses, aux = ed.editing_step_scenes(
+        trainer, batches, params_s, opt_state_s, jax.random.PRNGKey(13))
+    assert np.isfinite(np.asarray(losses)).all()
+    for leaf in jax.tree_util.tree_leaves(p1):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # params actually moved (the step is not a no-op on non-square views)
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                jax.tree_util.tree_leaves(params_s)))
+    assert moved > 0.0
 
 
 def test_editing_step_honors_occupancy_fast_path(tmp_path, monkeypatch):

@@ -1,0 +1,129 @@
+"""Fused scanned editing (editing_steps_many): K steps per dispatch.
+
+The fused step must reproduce the three-program split exactly — same key
+splits (render/vae/noise), same LGIE gate draws, same bg sampling — so a
+K=1 dispatch equals :func:`editing_step` up to float reassociation across
+program boundaries.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from customnerf_tpu.config import Config
+from customnerf_tpu.data.base import NeRFDataset
+from customnerf_tpu.engine.trainer import Trainer
+from test_editing import TinyGuidance
+
+
+def _opt(ws, **kw):
+    base = dict(
+        data_type="synthetic", workspace=ws, iters=100, lr=5e-3,
+        num_steps=8, upsample_steps=4, train_size=4, soft_mask=True,
+        pretrained=True, lambda_sd=0.01, keep_bg=10.0, cfg=100.0,
+        random_bg_c=True, detach_bg=True,
+        text="a corgi in a forest", text_fg="a corgi",
+        grid_levels=4, log2_hashmap_size=10, desired_resolution=32,
+        grid_base_resolution=4, use_ckpt="scratch",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _mk(ws, **kw):
+    opt = _opt(ws, **kw)
+    return Trainer("df", opt, guidance=TinyGuidance(opt),
+                   use_checkpoint="scratch")
+
+
+def _patched(monkey):
+    orig = jax.image.resize
+
+    def small_resize(x, shape, method="bilinear", **kw):
+        if len(shape) == 4 and shape[1] == 512:
+            shape = (shape[0], 64, 64, shape[3])
+        return orig(x, shape, method=method, **kw)
+
+    monkey.setattr(jax.image, "resize", small_resize)
+
+
+def test_fused_k1_matches_split_step(tmp_path, monkeypatch):
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    t_split = _mk(str(tmp_path / "a"))
+    t_fused = _mk(str(tmp_path / "b"))
+    loader = NeRFDataset(t_split.opt, type="train").dataloader()
+    batch = loader.item(0)
+    key = jax.random.PRNGKey(21)
+
+    # SGD so the comparison is gradient-proportional (Adam's first step is
+    # ±lr·sign(g), which amplifies float reassociation noise — see
+    # test_editing_mesh)
+    for t in (t_split, t_fused):
+        t.tx = optax.sgd(1.0)
+        t.opt_state = t.tx.init(jax.tree_util.tree_map(np.asarray, t.params))
+
+    t_split.global_step = 1
+    ed.editing_step(t_split, batch, key)
+
+    t_fused.global_step = 0  # editing_steps_many increments per step itself
+    losses, auxes = ed.editing_steps_many(t_fused, [batch], [key])
+    assert t_fused.global_step == 1
+    assert np.isfinite(np.asarray(losses)).all()
+    assert "loss_sds" in auxes and "loss_bg" in auxes
+
+    flat_a = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, t_split.params))
+    flat_b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, t_fused.params))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_fused_scan_multi_step(tmp_path, monkeypatch):
+    """K=3 steps in one dispatch: finite losses, params move, pt cache
+    filled, and the per-step aux comes back stacked [K]."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    trainer = _mk(str(tmp_path / "m"))
+    loader = NeRFDataset(trainer.opt, type="train").dataloader()
+    batches = [loader.item(i % len(loader)) for i in range(3)]
+    keys = list(jax.random.split(jax.random.PRNGKey(5), 3))
+
+    p_before = jax.tree_util.tree_map(np.asarray, trainer.params)
+    losses, auxes = ed.editing_steps_many(trainer, batches, keys)
+    assert np.asarray(losses).shape == (3,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert np.asarray(auxes["loss_sds"]).shape == (3,)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        trainer.params, p_before)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+    assert len(trainer.pt_dict) >= 1
+
+
+def test_trainer_epoch_uses_fused_editing(tmp_path, monkeypatch):
+    """train() with steps_per_dispatch>1 under --pretrained routes through
+    the fused scan path and advances global_step correctly."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    trainer = _mk(str(tmp_path / "e"), steps_per_dispatch=2, iters=8,
+                  eval_interval=100)
+    loader = NeRFDataset(trainer.opt, type="train").dataloader()
+
+    called = {"n": 0}
+    orig = ed.editing_steps_many
+
+    def spy(t, batches, keys):
+        called["n"] += 1
+        return orig(t, batches, keys)
+
+    monkeypatch.setattr(ed, "editing_steps_many", spy)
+    trainer.train_one_epoch(loader)
+    assert called["n"] == 2          # 4 views / 2 per dispatch
+    assert trainer.global_step == 4
