@@ -171,13 +171,22 @@ class Config:
     grid_type: str = "tiled"       # "tiled" (reference parity, network_grid.py:95)
                                    # | "hash" | "triplane" (TPU-tuned low-row field)
     triplane_res: List[int] = field(default_factory=lambda: [128, 512])
-    triplane_channels: int = 16
+    triplane_channels: List[int] = field(default_factory=lambda: [16])
+                                   # one value = all levels; N values = per
+                                   # level (backward flops scale R²·C, so
+                                   # narrow fine levels buy throughput at
+                                   # unchanged resolution — docs/PERF.md)
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
     ckpt_format: str = "pth"       # "pth" (reference contract) | "orbax"
                                    # (async, off-thread flush)
     profile: bool = False
+    allow_random_guidance: bool = False  # opt-in: run editing with RANDOM
+                                 # SD/CLIP weights (tests/plumbing only; a
+                                 # semantic edit run without --sd_weights
+                                 # otherwise fails loudly instead of burning
+                                 # 10k iters distilling noise)
     occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
     steps_per_dispatch: int = 0  # lax.scan K train steps per jit call;
                                  # 0 = auto (8 on TPU, 1 on CPU) — amortizes

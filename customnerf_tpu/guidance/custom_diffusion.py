@@ -36,17 +36,25 @@ _BLOCKS = (
 )
 
 
-def extract_cd_kv(unet_params) -> Dict[str, Dict[str, jnp.ndarray]]:
+def extract_cd_kv(unet_params, train_q_out: bool = False
+                  ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Pull the cross-attn (attn2) K/V kernels out of a UNet param tree as
-    the trainable adapter table."""
+    the trainable adapter table.  ``train_q_out`` adds the Q projection and
+    the output projection (kernel + bias) — the reference's
+    ``--freeze_model crossattn`` mode (train_custom_diffusion.py:904-946)."""
     p = unet_params["params"]
     table = {}
     for ours, _ in _BLOCKS:
         if ours not in p:  # smaller configs (fewer layers_per_block)
             continue
         attn2 = p[ours]["transformer_blocks_0"]["attn2"]
-        table[ours] = {"to_k": jnp.asarray(attn2["to_k"]["kernel"]),
-                       "to_v": jnp.asarray(attn2["to_v"]["kernel"])}
+        entry = {"to_k": jnp.asarray(attn2["to_k"]["kernel"]),
+                 "to_v": jnp.asarray(attn2["to_v"]["kernel"])}
+        if train_q_out:
+            entry["to_q"] = jnp.asarray(attn2["to_q"]["kernel"])
+            entry["to_out"] = jnp.asarray(attn2["to_out_0"]["kernel"])
+            entry["to_out_bias"] = jnp.asarray(attn2["to_out_0"]["bias"])
+        table[ours] = entry
     return table
 
 
@@ -59,10 +67,19 @@ def save_cd_artifacts(out_dir: str, cd_kv, token_embeds: Dict[str, np.ndarray]):
     for ours, theirs in _BLOCKS:
         if ours not in cd_kv:
             continue
-        for kv in ("to_k", "to_v"):
+        prefix = f"{theirs}.transformer_blocks.0.attn2.processor"
+        for kv in ("to_k", "to_v", "to_q"):
+            if kv not in cd_kv[ours]:
+                continue
             w = np.asarray(cd_kv[ours][kv]).T  # [I,O] → torch [O,I]
-            state[f"{theirs}.transformer_blocks.0.attn2.processor."
-                  f"{kv}_custom_diffusion.weight"] = torch.from_numpy(w.copy())
+            state[f"{prefix}.{kv}_custom_diffusion.weight"] = \
+                torch.from_numpy(w.copy())
+        if "to_out" in cd_kv[ours]:  # diffusers to_out is a .0-indexed list
+            w = np.asarray(cd_kv[ours]["to_out"]).T
+            state[f"{prefix}.to_out_custom_diffusion.0.weight"] = \
+                torch.from_numpy(w.copy())
+            state[f"{prefix}.to_out_custom_diffusion.0.bias"] = \
+                torch.from_numpy(np.asarray(cd_kv[ours]["to_out_bias"]).copy())
     torch.save(state, os.path.join(out_dir, "pytorch_custom_diffusion_weights.bin"))
     for tok, emb in token_embeds.items():
         torch.save({tok: torch.from_numpy(np.asarray(emb).copy())},
@@ -81,12 +98,18 @@ def load_cd_artifacts(model_dir: str, text_encoder=None
         sd = torch.load(wpath, map_location="cpu", weights_only=True)
         cd_kv = {}
         for ours, theirs in _BLOCKS:
+            prefix = f"{theirs}.transformer_blocks.0.attn2.processor"
             entry = {}
-            for kv in ("to_k", "to_v"):
-                key = (f"{theirs}.transformer_blocks.0.attn2.processor."
-                       f"{kv}_custom_diffusion.weight")
+            for kv in ("to_k", "to_v", "to_q"):
+                key = f"{prefix}.{kv}_custom_diffusion.weight"
                 if key in sd:
                     entry[kv] = jnp.asarray(sd[key].float().numpy().T)
+            key = f"{prefix}.to_out_custom_diffusion.0.weight"
+            if key in sd:
+                entry["to_out"] = jnp.asarray(sd[key].float().numpy().T)
+                entry["to_out_bias"] = jnp.asarray(
+                    sd[f"{prefix}.to_out_custom_diffusion.0.bias"]
+                    .float().numpy())
             if entry:
                 cd_kv[ours] = entry
         if not cd_kv:
@@ -119,8 +142,8 @@ def _register_token(text_encoder, token: str, embedding: np.ndarray):
     emb_path = params
     for k in ("text_model", "embeddings", "token_embedding"):
         emb_path = emb_path[k]
-    table = np.asarray(emb_path["embedding"])
-    if token_id >= table.shape[0]:
+    table = np.array(emb_path["embedding"])   # writable copy (np.asarray of a
+    if token_id >= table.shape[0]:            # jax array is read-only)
         grown = np.zeros((token_id + 1, table.shape[1]), table.dtype)
         grown[: table.shape[0]] = table
         table = grown
@@ -202,6 +225,47 @@ class ConceptDataset:
         return img, mask, self.class_prompt
 
 
+# -------------------------------------------------------- state save/resume
+def _save_cd_state(output_dir: str, step: int, trainable, opt_state):
+    """Mid-run state dir (the reference's accelerate ``save_state``
+    checkpoint-{step} layout, train_custom_diffusion.py:1060-1083)."""
+    import pickle
+
+    d = os.path.join(output_dir, f"checkpoint-{step}")
+    os.makedirs(d, exist_ok=True)
+    leaves_t, tdef_t = jax.tree_util.tree_flatten(trainable)
+    leaves_o, tdef_o = jax.tree_util.tree_flatten(opt_state)
+    with open(os.path.join(d, "state.pkl"), "wb") as f:
+        pickle.dump({"step": step,
+                     "trainable_leaves": [np.asarray(l) for l in leaves_t],
+                     "trainable_treedef": pickle.dumps(tdef_t),
+                     "opt_leaves": [np.asarray(l) for l in leaves_o],
+                     "opt_treedef": pickle.dumps(tdef_o)}, f)
+    return d
+
+
+def _load_cd_state(path: str):
+    import pickle
+
+    with open(os.path.join(path, "state.pkl"), "rb") as f:
+        st = pickle.load(f)
+    trainable = jax.tree_util.tree_unflatten(
+        pickle.loads(st["trainable_treedef"]),
+        [jnp.asarray(l) for l in st["trainable_leaves"]])
+    opt_state = jax.tree_util.tree_unflatten(
+        pickle.loads(st["opt_treedef"]),
+        [jnp.asarray(l) for l in st["opt_leaves"]])
+    return st["step"], trainable, opt_state
+
+
+def _latest_cd_checkpoint(output_dir: str) -> Optional[str]:
+    dirs = [d for d in glob.glob(os.path.join(output_dir, "checkpoint-*"))
+            if os.path.isdir(d)]
+    if not dirs:
+        return None
+    return max(dirs, key=lambda d: int(d.rsplit("-", 1)[1]))
+
+
 # ----------------------------------------------------------------- trainer
 def train_custom_diffusion(
     opt,
@@ -216,12 +280,33 @@ def train_custom_diffusion(
     lr: float = 1e-5,
     prior_loss_weight: float = 1.0,
     image_size: int = 512,
+    batch_size: int = 2,
+    grad_accum: int = 1,
+    freeze_model: str = "crossattn_kv",
+    checkpointing_steps: int = 250,
+    resume_from_checkpoint: Optional[str] = None,
+    validation_prompt: Optional[str] = None,
+    validation_steps: int = 50,
+    num_validation_images: int = 2,
 ):
-    """Tune K/V adapters + the modifier-token row; save artifacts."""
+    """Tune K/V adapters + the modifier-token row; save artifacts.
+
+    Reference-parity features (train_custom_diffusion.py):
+      * ``batch_size`` instance images per optimizer step, each paired with a
+        class image under prior preservation (bs 2 in tuning.sh:8-24);
+      * ``grad_accum`` micro-steps per optimizer update (optax.MultiSteps —
+        the accelerate gradient_accumulation_steps analog);
+      * ``freeze_model``: "crossattn_kv" trains K/V only, "crossattn" also
+        trains Q and the out projection (ref :904-946);
+      * ``checkpointing_steps`` / ``resume_from_checkpoint`` ("latest" or a
+        checkpoint-N dir) — mid-run save_state/resume (ref :1060-1083);
+      * ``validation_prompt`` — periodic DDIM sample grid with the current
+        adapters + token row (ref :1215-1329).
+    """
     import optax
     from customnerf_tpu.guidance.sds import StableDiffusionGuidance
-    from customnerf_tpu.guidance.text import HashTokenizer
 
+    assert freeze_model in ("crossattn_kv", "crossattn"), freeze_model
     guidance = StableDiffusionGuidance(opt)
     te = guidance.text_encoder
 
@@ -233,7 +318,8 @@ def train_custom_diffusion(
     token_id = _register_token(te, modifier_token,
                                emb_table[min(init_id, emb_table.shape[0] - 1)])
 
-    cd_kv = extract_cd_kv(guidance.unet_params)
+    cd_kv = extract_cd_kv(guidance.unet_params,
+                          train_q_out=(freeze_model == "crossattn"))
     tok_row = jnp.asarray(np.asarray(
         te.params["text_model"]["embeddings"]["token_embedding"]["embedding"]
     )[token_id])
@@ -261,15 +347,18 @@ def train_custom_diffusion(
         params["text_model"]["embeddings"]["token_embedding"]["embedding"] = tbl
         return te.model(input_ids=ids, params=params).last_hidden_state
 
-    tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=1e-2)
+    base_tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=1e-2)
+    tx = (optax.MultiSteps(base_tx, every_k_schedule=grad_accum)
+          if grad_accum > 1 else base_tx)
     opt_state = tx.init(trainable)
 
     def loss_fn(trainable, latents, ids, mask_lat, t, key,
                 latents_pr, ctx_pr, t_pr):
+        # latents/ids/mask_lat/t carry a leading batch axis [B, ...]
         ctx = embed_with_row(ids, trainable["tok_row"])
         noise = jax.random.normal(key, latents.shape)
         noisy = scheduler.add_noise(latents, noise, t)
-        pred = unet.apply(unet_params, noisy, jnp.broadcast_to(t, (1,)), ctx,
+        pred = unet.apply(unet_params, noisy, t, ctx,
                           cd_kv=trainable["cd_kv"])
         loss = jnp.sum(((pred - noise) ** 2) * mask_lat) / (
             jnp.sum(mask_lat) * latents.shape[-1] + 1e-8)
@@ -277,45 +366,111 @@ def train_custom_diffusion(
             noise2 = jax.random.normal(jax.random.fold_in(key, 1),
                                        latents_pr.shape)
             noisy2 = scheduler.add_noise(latents_pr, noise2, t_pr)
-            pred2 = unet.apply(unet_params, noisy2,
-                               jnp.broadcast_to(t_pr, (1,)), ctx_pr,
+            pred2 = unet.apply(unet_params, noisy2, t_pr, ctx_pr,
                                cd_kv=trainable["cd_kv"])
             loss = loss + prior_loss_weight * jnp.mean((pred2 - noise2) ** 2)
         return loss
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn), static_argnames=())
 
+    start_step = 0
+    if resume_from_checkpoint:
+        path = (resume_from_checkpoint if resume_from_checkpoint != "latest"
+                else _latest_cd_checkpoint(output_dir))
+        if path and os.path.isdir(str(path)):
+            start_step, trainable, opt_state = _load_cd_state(str(path))
+            print(f"[cd-tune] resumed from {path} at step {start_step}")
+        else:
+            print(f"[cd-tune] checkpoint '{resume_from_checkpoint}' not "
+                  "found; starting fresh")
+
     key = jax.random.PRNGKey(opt.seed)
     rng = np.random.RandomState(opt.seed)
-    for step_i in range(steps):
-        key, k_vae, k_noise, k_vae2 = jax.random.split(key, 4)
-        img, mask, prompt = ds.sample_instance()
-        latents = encode(guidance.vae_params,
-                         jnp.asarray((img[None] + 1) / 2), k_vae)
-        ids = jnp.asarray(te.tokenize([prompt]))
-        t = jnp.int32(rng.randint(0, scheduler.num_train_timesteps))
+    # replay the RNG streams consumed by completed steps so a resumed run
+    # continues the exact sequence a straight-through run would produce
+    for _ in range(start_step * max(grad_accum, 1)):
+        key, *_ = jax.random.split(key, 4)
+        rng.randint(0, scheduler.num_train_timesteps, size=2 * batch_size)
 
-        if use_prior:
-            img2, _, prompt2 = ds.sample_class()
-            latents_pr = encode(guidance.vae_params,
-                                jnp.asarray((img2[None] + 1) / 2), k_vae2)
-            ctx_pr = te.encode([prompt2])
-            t_pr = jnp.int32(rng.randint(0, scheduler.num_train_timesteps))
-        else:
-            latents_pr, ctx_pr, t_pr = None, None, jnp.int32(0)
+    B = batch_size
+    micro_per_step = max(grad_accum, 1)
+    step_i = start_step
+    while step_i < steps:
+        for _micro in range(micro_per_step):
+            key, k_vae, k_noise, k_vae2 = jax.random.split(key, 4)
+            ts_draw = rng.randint(0, scheduler.num_train_timesteps,
+                                  size=2 * B)
+            imgs, masks, prompts = zip(*(ds.sample_instance()
+                                         for _ in range(B)))
+            latents = encode(guidance.vae_params,
+                             jnp.asarray((np.stack(imgs) + 1) / 2), k_vae)
+            ids = jnp.asarray(te.tokenize(list(prompts)))
+            t = jnp.asarray(ts_draw[:B], jnp.int32)
 
-        mask_lat = jnp.asarray(mask[None])
-        loss, grads = grad_fn(trainable, latents, ids, mask_lat, t, k_noise,
-                              latents_pr, ctx_pr, t_pr)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        if step_i % 50 == 0:
+            if use_prior:
+                imgs2, _, prompts2 = zip(*(ds.sample_class()
+                                           for _ in range(B)))
+                latents_pr = encode(guidance.vae_params,
+                                    jnp.asarray((np.stack(imgs2) + 1) / 2),
+                                    k_vae2)
+                ctx_pr = te.encode(list(prompts2))
+                t_pr = jnp.asarray(ts_draw[B:], jnp.int32)
+            else:
+                latents_pr, ctx_pr = None, None
+                t_pr = jnp.zeros((B,), jnp.int32)
+
+            mask_lat = jnp.asarray(np.stack(masks))
+            loss, grads = grad_fn(trainable, latents, ids, mask_lat, t,
+                                  k_noise, latents_pr, ctx_pr, t_pr)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+        step_i += 1
+        if (step_i - start_step) % 50 == 1 or step_i % 50 == 0:
             print(f"[cd-tune] step {step_i} loss {float(loss):.4f}")
+        if checkpointing_steps and step_i % checkpointing_steps == 0 \
+                and step_i < steps:
+            _save_cd_state(output_dir, step_i, trainable, opt_state)
+        if validation_prompt and step_i % validation_steps == 0:
+            _cd_validation(guidance, te_params, trainable, token_id,
+                           validation_prompt, num_validation_images,
+                           output_dir, step_i, image_size)
 
     save_cd_artifacts(output_dir, trainable["cd_kv"],
                       {modifier_token: np.asarray(trainable["tok_row"])})
     print(f"[cd-tune] saved artifacts to {output_dir}")
     return output_dir
+
+
+def _cd_validation(guidance, te_params, trainable, token_id, prompt: str,
+                   n_images: int, output_dir: str, step: int,
+                   image_size: int):
+    """Periodic sample grid with the current adapters + token row
+    (reference train_custom_diffusion.py:1215-1329 log_validation)."""
+    import cv2
+
+    from customnerf_tpu.guidance.sampler import ddim_sample
+
+    te = guidance.text_encoder
+    saved_params, saved_kv = te.params, guidance.cd_kv
+    params = jax.tree_util.tree_map(lambda x: x, dict(te_params))
+    tbl = params["text_model"]["embeddings"]["token_embedding"]["embedding"]
+    params["text_model"]["embeddings"]["token_embedding"]["embedding"] = \
+        jnp.asarray(tbl).at[token_id].set(trainable["tok_row"])
+    te.params = params
+    guidance.cd_kv = trainable["cd_kv"]
+    try:
+        vd = os.path.join(output_dir, "validation")
+        os.makedirs(vd, exist_ok=True)
+        for i in range(n_images):
+            img = ddim_sample(guidance, prompt, jax.random.PRNGKey(step + i),
+                              num_steps=25, height=image_size,
+                              width=image_size)
+            cv2.imwrite(os.path.join(vd, f"step{step:05d}_{i}.png"),
+                        cv2.cvtColor((np.asarray(img) * 255).astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR))
+        print(f"[cd-tune] wrote {n_images} validation samples at step {step}")
+    finally:
+        te.params, guidance.cd_kv = saved_params, saved_kv
 
 
 # --------------------------------------------------------------- merging

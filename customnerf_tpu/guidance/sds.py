@@ -30,7 +30,8 @@ import numpy as np
 
 from customnerf_tpu.guidance.scheduler import DDPMSchedule
 from customnerf_tpu.guidance.text import TextEncoder
-from customnerf_tpu.guidance.unet import UNet2DCondition, UNetConfig
+from customnerf_tpu.guidance.unet import (UNet2DCondition, UNetConfig,
+                                          sd2_unet_config)
 from customnerf_tpu.guidance.vae import AutoencoderKL, VAEConfig
 
 
@@ -63,8 +64,12 @@ class StableDiffusionGuidance:
 
         if jax.devices()[0].platform == "cpu":
             dtype = "float32"
-        self.unet = UNet2DCondition(UNetConfig(cross_attention_dim=cross_dim,
-                                               dtype=dtype))
+        # SD 2.x: 64-dim heads (5/10/20/20 per block) + 1024-d OpenCLIP
+        # context (reference supports 2.0/2.1 via nerf/sd.py:44-54)
+        unet_cfg = (sd2_unet_config(dtype) if sd_version.startswith("2")
+                    else UNetConfig(cross_attention_dim=cross_dim,
+                                    dtype=dtype))
+        self.unet = UNet2DCondition(unet_cfg)
         self.vae = AutoencoderKL(VAEConfig(dtype=dtype))
         self.text_encoder = TextEncoder(sd_version, weights_dir=opt.sd_weights,
                                         seed=opt.seed)
@@ -98,6 +103,16 @@ class StableDiffusionGuidance:
         if opt.sd_weights:
             from customnerf_tpu.guidance.weights import load_sd_weights
             load_sd_weights(self, opt.sd_weights)
+        elif (getattr(opt, "pretrained", False)
+              and not getattr(opt, "test", False)
+              and not getattr(opt, "allow_random_guidance", False)):
+            # a 10k-iter semantic run must not silently distill noise
+            raise RuntimeError(
+                "editing requested without --sd_weights: Stable Diffusion "
+                "would run with RANDOM weights and the edit would be noise. "
+                "Point --sd_weights at a local SD checkpoint directory, or "
+                "pass --allow_random_guidance to opt into random weights "
+                "(plumbing tests/benchmarks only).")
         else:
             print("[WARN] no --sd_weights given: SD runs with random weights "
                   "(framework-functional; provide a local checkpoint for real edits).")

@@ -31,13 +31,30 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 768       # 1024 for SD 2.x
-    attention_head_dim: int = 8          # heads per block (SD1.5: 8 everywhere)
+    # Heads per block, following diffusers' (historically misnamed)
+    # ``attention_head_dim``: an int applies to every level (SD 1.5: 8 heads,
+    # dim_head = ch/8); a tuple gives per-level head counts (SD 2.x:
+    # (5, 10, 20, 20) → 64-dim heads at channels (320, 640, 1280, 1280)).
+    attention_head_dim: int | Tuple[int, ...] = 8
     norm_num_groups: int = 32
     dtype: str = "float32"
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def heads_at(self, level: int) -> int:
+        hd = self.attention_head_dim
+        return int(hd[level]) if isinstance(hd, (tuple, list)) else int(hd)
+
+
+def sd2_unet_config(dtype: str = "float32") -> UNetConfig:
+    """SD 2.0/2.1(-base) UNet architecture (diffusers unet/config.json:
+    cross_attention_dim 1024, attention_head_dim [5, 10, 20, 20] = 64-dim
+    heads, use_linear_projection — the linear proj_in/out is mathematically
+    a 1×1 conv, which is how ``weights.py`` maps it)."""
+    return UNetConfig(cross_attention_dim=1024,
+                      attention_head_dim=(5, 10, 20, 20), dtype=dtype)
 
 
 def timestep_embedding(t, dim: int, max_period: int = 10000):
@@ -101,7 +118,12 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None, cd_kv=None):
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        if cd_kv is not None and "to_q" in cd_kv:
+            # Custom Diffusion --freeze_model crossattn: tuned Q too
+            # (reference train_custom_diffusion.py:904-946 train_q_out)
+            q = x @ cd_kv["to_q"].astype(self.dtype)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         if cd_kv is not None:
             # Custom Diffusion: swap in tuned K/V projection weights
             k = context @ cd_kv["to_k"].astype(self.dtype)
@@ -122,6 +144,9 @@ class CrossAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(b, n, inner)
+        if cd_kv is not None and "to_out" in cd_kv:
+            return (out @ cd_kv["to_out"].astype(self.dtype)
+                    + cd_kv["to_out_bias"].astype(self.dtype))
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
@@ -135,7 +160,9 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU applies torch F.gelu = EXACT erf gelu; flax's
+        # default is the tanh approximation (≠ by up to ~3e-3 per activation)
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
@@ -240,7 +267,7 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock(ch, c.norm_num_groups, dtype=dt,
                                 name=f"down_{i}_resnet_{j}")(h, temb)
                 if has_attn:
-                    h = Transformer2D(ch, c.attention_head_dim,
+                    h = Transformer2D(ch, c.heads_at(i),
                                       c.cross_attention_dim,
                                       c.norm_num_groups, dtype=dt,
                                       name=f"down_{i}_attn_{j}")(
@@ -253,7 +280,7 @@ class UNet2DCondition(nn.Module):
         # ---- mid ----------------------------------------------------------
         h = ResnetBlock(block_ch[-1], c.norm_num_groups, dtype=dt,
                         name="mid_resnet_0")(h, temb)
-        h = Transformer2D(block_ch[-1], c.attention_head_dim,
+        h = Transformer2D(block_ch[-1], c.heads_at(n_levels - 1),
                           c.cross_attention_dim, c.norm_num_groups, dtype=dt,
                           name="mid_attn_0")(h, context, kv("mid_attn_0"))
         h = ResnetBlock(block_ch[-1], c.norm_num_groups, dtype=dt,
@@ -269,7 +296,7 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock(ch, c.norm_num_groups, dtype=dt,
                                 name=f"up_{i}_resnet_{j}")(h, temb)
                 if has_attn:
-                    h = Transformer2D(ch, c.attention_head_dim,
+                    h = Transformer2D(ch, c.heads_at(n_levels - 1 - i),
                                       c.cross_attention_dim,
                                       c.norm_num_groups, dtype=dt,
                                       name=f"up_{i}_attn_{j}")(

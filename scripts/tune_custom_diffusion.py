@@ -30,6 +30,15 @@ def main():
     p.add_argument("--sd_version", default="1.5")
     p.add_argument("--sd_weights", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--train_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--freeze_model", default="crossattn_kv",
+                   choices=["crossattn_kv", "crossattn"])
+    p.add_argument("--checkpointing_steps", type=int, default=250)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--validation_prompt", default=None)
+    p.add_argument("--validation_steps", type=int, default=50)
+    p.add_argument("--num_validation_images", type=int, default=2)
     args = p.parse_args()
 
     from customnerf_tpu.config import Config
@@ -59,6 +68,14 @@ def main():
         lr=args.learning_rate,
         prior_loss_weight=args.prior_loss_weight,
         image_size=args.resolution,
+        batch_size=args.train_batch_size,
+        grad_accum=args.gradient_accumulation_steps,
+        freeze_model=args.freeze_model,
+        checkpointing_steps=args.checkpointing_steps,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        validation_prompt=args.validation_prompt,
+        validation_steps=args.validation_steps,
+        num_validation_images=args.num_validation_images,
     )
 
 

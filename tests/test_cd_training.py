@@ -83,6 +83,105 @@ def test_cd_tuning_end_to_end(tiny_sd, tmp_path, monkeypatch):
     assert moved
 
 
+def test_cd_tuning_bs2_accum_freeze_crossattn(tiny_sd, tmp_path, monkeypatch):
+    """Reference-parity trainer features in one tiny run: batch_size 2,
+    gradient accumulation 2, --freeze_model crossattn (q/out trained too) —
+    the artifacts must carry the q/out processor entries and roundtrip."""
+    import numpy as np
+
+    g, opt = tiny_sd
+    inst = str(tmp_path / "instance")
+    make_concept_images(inst)
+    out = str(tmp_path / "out_qv")
+
+    import customnerf_tpu.guidance.custom_diffusion as cd
+    monkeypatch.setattr(
+        "customnerf_tpu.guidance.sds.StableDiffusionGuidance",
+        lambda opt_: g)
+
+    before = {k: {kk: np.asarray(vv).copy() for kk, vv in v.items()}
+              for k, v in cd.extract_cd_kv(g.unet_params,
+                                           train_q_out=True).items()}
+
+    cd.train_custom_diffusion(
+        opt, instance_dir=inst, instance_prompt="ball", output_dir=out,
+        steps=2, lr=1e-3, image_size=64, batch_size=2, grad_accum=2,
+        freeze_model="crossattn")
+
+    kv, toks = cd.load_cd_artifacts(out)
+    assert "<new1>" in toks
+    some = next(iter(kv.values()))
+    assert {"to_k", "to_v", "to_q", "to_out", "to_out_bias"} <= set(some)
+    moved = any(
+        not np.allclose(np.asarray(kv[k]["to_q"]), before[k]["to_q"])
+        for k in before if k in kv)
+    assert moved
+    # the UNet consumes the q/out adapters (forward works with overrides)
+    import jax, jax.numpy as jnp
+    outp = g.unet.apply(g.unet_params, jnp.ones((1, 8, 8, 4)),
+                        jnp.asarray([5], jnp.int32), jnp.ones((1, 77, 768)),
+                        cd_kv=kv)
+    assert np.isfinite(np.asarray(outp)).all()
+
+
+def test_cd_tuning_checkpoint_resume(tiny_sd, tmp_path, monkeypatch):
+    """Mid-run save_state + resume (reference :1060-1083): a checkpoint-N dir
+    appears, and a resumed run starts at N and completes."""
+    import numpy as np
+
+    g, opt = tiny_sd
+    inst = str(tmp_path / "instance")
+    make_concept_images(inst)
+    out = str(tmp_path / "out_resume")
+
+    import customnerf_tpu.guidance.custom_diffusion as cd
+    monkeypatch.setattr(
+        "customnerf_tpu.guidance.sds.StableDiffusionGuidance",
+        lambda opt_: g)
+
+    # phase 1: 3 of 4 steps... interrupt by running only to a checkpoint
+    cd.train_custom_diffusion(
+        opt, instance_dir=inst, instance_prompt="ball", output_dir=out,
+        steps=2, lr=1e-3, image_size=64, batch_size=1,
+        checkpointing_steps=1)
+    ckpt = cd._latest_cd_checkpoint(out)
+    assert ckpt is not None and ckpt.endswith("checkpoint-1")
+    step, trainable, opt_state = cd._load_cd_state(ckpt)
+    assert step == 1
+    assert np.isfinite(np.asarray(trainable["tok_row"])).all()
+
+    # phase 2: resume from latest and run to 3 steps total
+    cd.train_custom_diffusion(
+        opt, instance_dir=inst, instance_prompt="ball", output_dir=out,
+        steps=3, lr=1e-3, image_size=64, batch_size=1,
+        checkpointing_steps=10, resume_from_checkpoint="latest")
+    assert os.path.exists(os.path.join(
+        out, "pytorch_custom_diffusion_weights.bin"))
+
+
+def test_cd_tuning_validation_sampling(tiny_sd, tmp_path, monkeypatch):
+    """--validation_prompt writes DDIM sample PNGs mid-run (ref :1215-1329)."""
+    import glob as _glob
+
+    g, opt = tiny_sd
+    inst = str(tmp_path / "instance")
+    make_concept_images(inst)
+    out = str(tmp_path / "out_val")
+
+    import customnerf_tpu.guidance.custom_diffusion as cd
+    monkeypatch.setattr(
+        "customnerf_tpu.guidance.sds.StableDiffusionGuidance",
+        lambda opt_: g)
+
+    cd.train_custom_diffusion(
+        opt, instance_dir=inst, instance_prompt="ball", output_dir=out,
+        steps=1, lr=1e-3, image_size=64, batch_size=1,
+        validation_prompt="photo of a <new1> ball", validation_steps=1,
+        num_validation_images=1)
+    pngs = _glob.glob(os.path.join(out, "validation", "*.png"))
+    assert len(pngs) == 1
+
+
 def test_merge_concepts(tiny_sd, tmp_path):
     import jax.numpy as jnp
     from customnerf_tpu.guidance import custom_diffusion as cd

@@ -181,6 +181,75 @@ def test_unet_converter_contract():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_unet_converter_contract_sd2_style():
+    """Same contract on an SD 2.x-shaped tiny config: per-block head counts
+    (the 2.x architecture, diffusers attention_head_dim=[5,10,20,20]) and a
+    2-D (linear-projection) proj_in/out state_dict, which 2.x checkpoints
+    store (use_linear_projection) — the converter must place it as the
+    equivalent 1×1 conv kernel."""
+    unet = UNet2DCondition(UNetConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 4, 4, 4),
+        norm_num_groups=8))
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 32)))
+
+    src, want = _synth_state_dict(params, _unet_key)
+    # rewrite every transformer proj_in/out to the 2.x linear layout:
+    # torch conv [O,I,1,1] → torch linear [O,I]
+    n_linear = 0
+    for k in list(src):
+        if (".proj_in.weight" in k or ".proj_out.weight" in k):
+            assert src[k].ndim == 4 and src[k].shape[2:] == (1, 1)
+            src[k] = src[k][:, :, 0, 0]
+            n_linear += 1
+    assert n_linear > 0
+    tracked = _TrackingDict(src)
+    converted = convert_unet(tracked, params)
+
+    unused = set(src) - tracked.used
+    assert not unused, f"converter ignored source keys: {sorted(unused)[:8]}"
+    got = _flatten(converted)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    out = unet.apply(converted, jnp.ones((1, 8, 8, 4)),
+                     jnp.asarray([10], jnp.int32), jnp.ones((1, 77, 32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_per_block_heads_change_attention():
+    """Head counts must be wired into the attention math: identical params
+    under different head partitions give different outputs (a dead
+    attention_head_dim config was the round-2 SD 2.x bug)."""
+    mk = lambda heads: UNet2DCondition(UNetConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=heads, norm_num_groups=8))
+    u2, u4 = mk(2), mk((4, 4, 4, 4))
+    params = u2.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                     jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 32)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 32))
+    t = jnp.asarray([10], jnp.int32)
+    o2 = np.asarray(u2.apply(params, x, t, ctx))
+    o4 = np.asarray(u4.apply(params, x, t, ctx))  # same param shapes
+    assert np.abs(o2 - o4).max() > 1e-6
+
+
+def test_sd2_config_architecture():
+    """Pin the SD 2.x architecture facts (diffusers
+    stable-diffusion-2-1/unet/config.json): 1024-d cross-attention context,
+    per-block heads (5, 10, 20, 20) = 64-dim heads everywhere."""
+    from customnerf_tpu.guidance.unet import sd2_unet_config
+
+    cfg = sd2_unet_config()
+    assert cfg.cross_attention_dim == 1024
+    assert cfg.attention_head_dim == (5, 10, 20, 20)
+    for lvl, ch in enumerate(cfg.block_out_channels):
+        assert ch // cfg.heads_at(lvl) == 64
+
+
 def test_vae_converter_contract():
     vae = AutoencoderKL(VAEConfig(block_out_channels=(16, 16, 32, 32),
                                   layers_per_block=1, norm_num_groups=8))
