@@ -18,6 +18,7 @@ Perf state + measured breakdowns: docs/PERF.md.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -129,7 +130,7 @@ def main():
 
     def fast(field, p, key):
         return render_rays_fast(field, p, o, d, occ, key, fast_settings,
-                                density_thresh=10.0, n_coarse=128, n_keep=64,
+                                n_coarse=128, n_keep=64,
                                 train=True, perturb=True)
 
     def dense(field, p, key):
@@ -173,13 +174,90 @@ def main():
         diag(tuned_grid, "tuned-grid")
         diag(dense_tri, "dense-triplane")
 
+    # ---- editing-step rate (BASELINE.md "SDS edit iteration rate") -------
+    edit_rate = None
+    if on_accel and not os.environ.get("BENCH_SKIP_EDITING"):
+        try:
+            edit_rate = bench_editing()
+        except Exception as e:
+            print(f"[bench] editing bench failed: {e}", file=sys.stderr)
+
     baseline = 1.0e6
-    print(json.dumps({
+    out = {
         "metric": "train_step_rays_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "rays/s",
         "vs_baseline": round(headline / baseline, 4),
-    }))
+    }
+    if edit_rate is not None:
+        out["editing_iters_per_sec"] = round(edit_rate, 3)
+    print(json.dumps(out))
+
+
+def bench_editing():
+    """Full-size SDS editing step rate (random SD weights — throughput only).
+
+    Measures the two editing drive modes on a 128×128 synthetic view:
+      * split: the 3-program step (render→latents / UNet ε / surrogate bwd),
+        3 dispatches per iteration;
+      * fused scan: ``editing_steps_many`` — K fused steps per dispatch
+        (render once, UNet inline).
+    Returns the fused-path iters/sec (the recommended mode)."""
+    import shutil
+
+    import jax
+
+    from customnerf_tpu.config import Config
+    from customnerf_tpu.data.base import NeRFDataset
+    from customnerf_tpu.engine import editing as ed
+    from customnerf_tpu.engine.trainer import Trainer
+    from customnerf_tpu.guidance.sds import StableDiffusionGuidance
+
+    ws = "/tmp/bench_edit_ws"
+    shutil.rmtree(ws, ignore_errors=True)
+    opt = Config(
+        data_type="synthetic", workspace=ws, O=True, iters=1000,
+        pretrained=True, allow_random_guidance=True, use_ckpt="scratch",
+        lambda_sd=0.01, keep_bg=1000.0, cfg=100.0, random_bg_c=True,
+        detach_bg=True, soft_mask=True, stage_time=True,
+        text="a corgi", text_fg="a corgi", grid_type="triplane",
+        num_steps=64, upsample_steps=0, train_size=8)
+    guidance = StableDiffusionGuidance(opt)
+    trainer = Trainer("bench_edit", opt, guidance=guidance,
+                      use_checkpoint="scratch")
+    loader = NeRFDataset(opt, type="train").dataloader()
+    batch = loader.item(0)
+
+    def tick():
+        # materialize a param leaf — block_until_ready is unreliable through
+        # the tunnel (CLAUDE.md)
+        jax.tree_util.tree_leaves(trainer.params)[0].sum().item()
+        return time.perf_counter()
+
+    # split path (3 dispatches / step)
+    trainer.global_step = 1
+    ed.editing_step(trainer, batch, jax.random.PRNGKey(0))  # compile
+    t0 = tick()
+    n_split = 3
+    for i in range(n_split):
+        ed.editing_step(trainer, batch, jax.random.PRNGKey(i + 1))
+    split_rate = n_split / (tick() - t0)
+    print(f"[bench] editing split 3-program: {split_rate:.3f} iters/s",
+          file=sys.stderr)
+
+    # fused scan path (K steps / dispatch)
+    K = 4
+    keys = list(jax.random.split(jax.random.PRNGKey(7), K))
+    ed.editing_steps_many(trainer, [batch] * K, keys)  # compile
+    t0 = tick()
+    n_rep = 2
+    for i in range(n_rep):
+        keys = list(jax.random.split(jax.random.PRNGKey(11 + i), K))
+        ed.editing_steps_many(trainer, [batch] * K, keys)
+    fused_rate = n_rep * K / (tick() - t0)
+    print(f"[bench] editing fused scan (K={K}): {fused_rate:.3f} iters/s",
+          file=sys.stderr)
+    return fused_rate
 
 
 if __name__ == "__main__":

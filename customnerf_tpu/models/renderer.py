@@ -231,7 +231,6 @@ def render_rays_fast(
     occ_state,
     key,
     s: RenderSettings,
-    density_thresh: float = 10.0,
     n_coarse: int = 256,
     n_keep: int = 64,
     train: bool = False,
@@ -257,7 +256,7 @@ def render_rays_fast(
 
     z, valid, dt_scale = march_rays_occupancy(
         occ_state, rays_o, rays_d, nears_, fars_, key_march, s.bound,
-        density_thresh, n_coarse=n_coarse, n_keep=n_keep, perturb=perturb)
+        n_coarse=n_coarse, n_keep=n_keep, perturb=perturb)
     valid = valid & ~miss[:, None]
     # invalid tail slots carry depths of *unoccupied* candidates which can be
     # SMALLER than the last valid depth → negative deltas → exp overflow →

@@ -49,10 +49,18 @@ _PLANES = ((0, 1), (0, 2), (1, 2))
 
 @dataclass(frozen=True)
 class TriplaneSpec:
-    """Static metadata for a (multi-resolution) tri-plane encoding."""
+    """Static metadata for a (multi-resolution) tri-plane encoding.
+
+    ``channels`` is an int (same width every level) or a per-level tuple —
+    e.g. ``resolutions=(128, 512), channels=(16, 8)`` keeps the fine level's
+    RESOLUTION (quality) while halving its backward-matmul FLOPs, which scale
+    as R²·C and dominate the train step at R=512 (docs/PERF.md).  The flat
+    table is laid out at ``max(channels)`` width; narrow levels use the
+    leading columns (gathers are row-issue-bound, so the extra columns are
+    free on the forward)."""
 
     resolutions: Tuple[int, ...] = (128, 512)
-    channels: int = 16
+    channels: int | Tuple[int, ...] = 16
     input_dim: int = 3
     bwd: str = "matmul"        # "matmul" (MXU, scatter-free) | "scatter" (autodiff)
     mm_bf16: bool = True       # run the backward matmuls in bf16 (f32 accumulate)
@@ -65,10 +73,23 @@ class TriplaneSpec:
         assert self.input_dim == 3, "tri-plane encoding requires 3-D inputs"
         assert all(r >= 2 for r in self.resolutions)
         assert self.bwd in ("matmul", "scatter")
+        if isinstance(self.channels, (tuple, list)):
+            object.__setattr__(self, "channels", tuple(self.channels))
+            assert len(self.channels) == len(self.resolutions), (
+                "per-level channels must match resolutions")
+
+    def channels_at(self, level: int) -> int:
+        c = self.channels
+        return int(c[level]) if isinstance(c, tuple) else int(c)
+
+    @property
+    def max_channels(self) -> int:
+        c = self.channels
+        return int(max(c)) if isinstance(c, tuple) else int(c)
 
     @property
     def level_dim(self) -> int:  # API parity with GridSpec
-        return self.channels
+        return self.max_channels
 
     @property
     def num_levels(self) -> int:
@@ -76,7 +97,8 @@ class TriplaneSpec:
 
     @property
     def output_dim(self) -> int:
-        return 3 * self.channels * len(self.resolutions)
+        return 3 * sum(self.channels_at(l)
+                       for l in range(len(self.resolutions)))
 
     @functools.cached_property
     def plane_offsets(self):
@@ -95,9 +117,10 @@ class TriplaneSpec:
 
 
 def triplane_init(key, spec: TriplaneSpec, dtype=jnp.float32):
-    """Flat table [table_size, channels], U(−1e-4, 1e-4) (grid_init parity)."""
+    """Flat table [table_size, max_channels], U(−1e-4, 1e-4) (grid_init
+    parity); narrow levels use the leading channels_at(l) columns."""
     return jax.random.uniform(
-        key, (spec.table_size, spec.channels), dtype=dtype,
+        key, (spec.table_size, spec.max_channels), dtype=dtype,
         minval=-1e-4, maxval=1e-4,
     )
 
@@ -168,8 +191,12 @@ def _pack_plane(tblock, R: int, C: int, S: int):
 def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
     """Forward via packed single-row gathers (the fast path used under the
     matmul-backward custom_vjp; numerically identical to :func:`_encode_impl`
-    up to matmul precision)."""
-    C, S = spec.channels, spec.pack_span
+    up to matmul precision).
+
+    Extraction always runs at the table width ``Cmax`` (rows are fetched
+    whole either way — the gather unit is row-issue-bound); per-level output
+    blocks are the leading ``channels_at(l)`` columns."""
+    C, S = spec.max_channels, spec.pack_span
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)
     B = x.shape[0]
@@ -181,6 +208,7 @@ def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
 
     outs, vals_all = [], []
     for k, (idx, w, fu, fv, u0, v0, _ab, R) in enumerate(_corner_data(x, spec)):
+        Cl = spec.channels_at(k // 3)
         base = int(spec.plane_offsets.flatten()[k])
         tblock = jax.lax.slice_in_dim(table, base, base + R * R, axis=0)
         if spec.fwd_bf16:
@@ -207,7 +235,8 @@ def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
         if want_vals:
             vals_all.append(vals)
         prod = vals * jnp.repeat(w, C, axis=1)
-        outs.append(jnp.dot(prod, S4, preferred_element_type=jnp.float32))
+        full = jnp.dot(prod, S4, preferred_element_type=jnp.float32)
+        outs.append(full if Cl == C else full[:, :Cl])
 
     out = jnp.concatenate(outs, axis=-1).astype(table.dtype)
     out = jnp.where(oob, jnp.zeros_like(out), out)
@@ -218,7 +247,7 @@ def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
 
 
 def _encode_impl(x01, table, spec: TriplaneSpec, want_vals: bool = False):
-    C = spec.channels
+    C = spec.max_channels
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)
     B = x.shape[0]
@@ -227,13 +256,15 @@ def _encode_impl(x01, table, spec: TriplaneSpec, want_vals: bool = False):
     S = _corner_sum_matrix(C)
 
     outs, vals_all = [], []
-    for idx, w, *_ in _corner_data(x, spec):
+    for k, (idx, w, *_rest) in enumerate(_corner_data(x, spec)):
+        Cl = spec.channels_at(k // 3)
         vals = jnp.take(table, idx.reshape(-1), axis=0)            # [B*4, C]
         vals = vals.reshape(B, 4 * C).astype(jnp.float32)
         if want_vals:
             vals_all.append(vals)
         prod = vals * jnp.repeat(w, C, axis=1)                     # [B, 4C]
-        outs.append(jnp.dot(prod, S, preferred_element_type=jnp.float32))
+        full = jnp.dot(prod, S, preferred_element_type=jnp.float32)
+        outs.append(full if Cl == C else full[:, :Cl])
 
     out = jnp.concatenate(outs, axis=-1).astype(table.dtype)
     out = jnp.where(oob, jnp.zeros_like(out), out)
@@ -299,7 +330,7 @@ def _encode_mm_fwd(x01, table, spec: TriplaneSpec):
 def _encode_mm_bwd(spec: TriplaneSpec, res, g):
     x01, vals_all, oob, tdtype_witness = res
     tdtype = tdtype_witness.dtype
-    C = spec.channels
+    Cmax = spec.max_channels
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)
     B = x.shape[0]
@@ -311,17 +342,25 @@ def _encode_mm_bwd(spec: TriplaneSpec, res, g):
     # the flat-table gradient is a plain concatenation of per-plane blocks.
     dT_blocks = []
     dx = jnp.zeros((B, 3), jnp.float32)
+    col = 0
 
     for k, (idx, w, fu, fv, u0, v0, (a, b), R) in enumerate(corner):
-        gk = g[:, k * C:(k + 1) * C]                               # [B, C]
-        dT_blocks.append(_plane_dtable(u0, v0, fu, fv, gk, R, C,
-                                       spec.bwd_chunk, spec.mm_bf16))
+        Cl = spec.channels_at(k // 3)
+        gk = g[:, col:col + Cl]                                    # [B, Cl]
+        col += Cl
+        # the matmul backward runs at the LEVEL's width Cl — this is where
+        # per-level channels pay off (dT flops scale R²·Cl)
+        dT = _plane_dtable(u0, v0, fu, fv, gk, R, Cl,
+                           spec.bwd_chunk, spec.mm_bf16)
+        if Cl < Cmax:
+            dT = jnp.pad(dT, ((0, 0), (0, Cmax - Cl)))
+        dT_blocks.append(dT)
 
         # input gradient from saved corner values (no re-gather):
-        # out = Σ_ij fu_i fv_j vals_ij;  vals layout [B, 4C] = (00, 01, 10, 11)
+        # out = Σ_ij fu_i fv_j vals_ij; vals layout [B, 4Cmax] = (00,01,10,11)
         vals = vals_all[k]
-        v00, v01 = vals[:, 0 * C:1 * C], vals[:, 1 * C:2 * C]
-        v10, v11 = vals[:, 2 * C:3 * C], vals[:, 3 * C:4 * C]
+        cb = lambda i: vals[:, i * Cmax:i * Cmax + Cl]
+        v00, v01, v10, v11 = cb(0), cb(1), cb(2), cb(3)
         gv = lambda vv: jnp.sum(gk * vv, axis=-1)                  # [B]
         dfu = ((gv(v10) - gv(v00)) * (1 - fv) + (gv(v11) - gv(v01)) * fv)
         dfv = ((gv(v01) - gv(v00)) * (1 - fu) + (gv(v11) - gv(v10)) * fu)
@@ -358,13 +397,13 @@ def triplane_encode_reference(x01, table, spec: TriplaneSpec):
     x = np.asarray(x01, np.float64).reshape(-1, 3)
     tab = np.asarray(table, np.float64)
     B = x.shape[0]
-    C = spec.channels
     out = np.zeros((B, spec.output_dim), np.float64)
     for bi in range(B):
         if np.any(x[bi] < 0) or np.any(x[bi] > 1):
             continue
         col = 0
         for li, R in enumerate(spec.resolutions):
+            C = spec.channels_at(li)
             pos = x[bi] * (R - 1)
             p0 = np.clip(np.floor(pos), 0, R - 2).astype(np.int64)
             f = pos - p0
@@ -376,7 +415,7 @@ def triplane_encode_reference(x01, table, spec: TriplaneSpec):
                 for i in range(2):
                     for j in range(2):
                         w = (fu if i else 1 - fu) * (fv if j else 1 - fv)
-                        acc += w * tab[base + (u0 + i) * R + (v0 + j)]
+                        acc += w * tab[base + (u0 + i) * R + (v0 + j), :C]
                 out[bi, col:col + C] = acc
                 col += C
     return out

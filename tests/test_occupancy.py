@@ -59,7 +59,7 @@ def test_occupancy_lookup_inside_outside():
     occ = occupancy_lookup(state, jnp.asarray([[0.0, 0.0, 0.0],
                                                [0.9, 0.9, 0.9],
                                                [5.0, 0.0, 0.0]]),
-                           bound=1.0, density_thresh=10.0)
+                           bound=1.0)
     assert np.asarray(occ).tolist() == [True, False, False]
 
 
@@ -79,8 +79,7 @@ def test_march_compacts_occupied_first():
     fars = jnp.asarray([2.0])
     z, valid, _ = march_rays_occupancy(state, o, d, nears, fars,
                                     jax.random.PRNGKey(0), bound=1.0,
-                                    density_thresh=10.0, n_coarse=128,
-                                    n_keep=32)
+                                    n_coarse=128, n_keep=32)
     v = np.asarray(valid[0])
     zz = np.asarray(z[0])
     assert v.any()
@@ -118,7 +117,7 @@ def test_fast_path_matches_dense_on_fully_occupied_grid():
 
     dense = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
     fast = render_rays_fast(field, params, o, d, occ, jax.random.PRNGKey(1),
-                            s, density_thresh=10.0, n_coarse=32, n_keep=32)
+                            s, n_coarse=32, n_keep=32)
     np.testing.assert_allclose(np.asarray(fast["image"]),
                                np.asarray(dense["image"]), atol=0.05)
     assert "fg" in fast and "bg" in fast
@@ -161,7 +160,7 @@ def test_fast_path_monotone_depths_no_nan_with_hot_density():
 
     def loss(p):
         out = render_rays_fast(field, p, o, d, occ, jax.random.PRNGKey(1), s,
-                               density_thresh=10.0, n_coarse=64, n_keep=16,
+                               n_coarse=64, n_keep=16,
                                train=True, perturb=True)
         return jnp.sum(out["image"] ** 2) + jnp.sum(out["depth"] ** 2)
 
@@ -236,7 +235,7 @@ def test_fast_path_matches_dense_on_partially_occupied_grid():
 
     dense = render_rays(field, params, o, d, jax.random.PRNGKey(1), s)
     fast = render_rays_fast(field, params, o, d, occ, jax.random.PRNGKey(1),
-                            s, density_thresh=10.0, n_coarse=64, n_keep=32)
+                            s, n_coarse=64, n_keep=32)
     np.testing.assert_allclose(np.asarray(fast["image"]),
                                np.asarray(dense["image"]), atol=0.05)
     np.testing.assert_allclose(np.asarray(fast["weights_sum"]),
@@ -257,7 +256,7 @@ def test_march_strided_subsample_covers_full_span():
     n_coarse, n_keep = 256, 32
     z, valid, dt_scale = march_rays_occupancy(
         state, o, d, nears, fars, jax.random.PRNGKey(0), bound=1.0,
-        density_thresh=10.0, n_coarse=n_coarse, n_keep=n_keep)
+        n_coarse=n_coarse, n_keep=n_keep)
 
     v = np.asarray(valid[0])
     zz = np.asarray(z[0])
@@ -280,7 +279,7 @@ def test_march_strided_subsample_covers_full_span():
     state2 = state_from_grid(dens2, 0.01, density_thresh=10.0, grid_size=g)
     z2, valid2, sc2 = march_rays_occupancy(
         state2, o, d, nears, fars, jax.random.PRNGKey(0), bound=1.0,
-        density_thresh=10.0, n_coarse=n_coarse, n_keep=64)
+        n_coarse=n_coarse, n_keep=64)
     assert float(sc2[0, 0]) == 1.0
     # every occupied candidate kept when under budget
     assert int(np.asarray(valid2).sum()) < 64

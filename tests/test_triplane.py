@@ -59,6 +59,41 @@ def test_matmul_backward_matches_scatter_autodiff():
     np.testing.assert_array_equal(np.asarray(dx_mm)[-1], 0.0)
 
 
+def test_per_level_channels_oracle_and_backward():
+    """channels=(Cmax, Cfine) layout: forward matches the NumPy oracle and
+    the matmul backward (run at each level's OWN width — the R²·C flops
+    lever, docs/PERF.md) matches scatter autodiff, incl. zero grads in the
+    unused trailing columns of narrow levels."""
+    spec = _spec(resolutions=(8, 17), channels=(4, 2))
+    assert spec.output_dim == 3 * (4 + 2)
+    table = triplane_init(jax.random.PRNGKey(0), spec)
+    assert table.shape[1] == 4                       # max width
+
+    x = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(1), (41, 3)),
+        jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [-0.2, 0.5, 0.5]],
+                    jnp.float32)])
+    got = np.asarray(triplane_encode(x, table, spec))
+    want = triplane_encode_reference(x, table, spec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(got[-1], 0.0)
+
+    g = jax.random.normal(jax.random.PRNGKey(2), (44, spec.output_dim))
+    dx_mm, dt_mm = jax.grad(
+        lambda xx, t: jnp.sum(triplane_encode(xx, t, spec) * g),
+        argnums=(0, 1))(x, table)
+    dx_sc, dt_sc = jax.grad(
+        lambda xx, t: jnp.sum(_encode_impl(xx, t, spec) * g),
+        argnums=(0, 1))(x, table)
+    np.testing.assert_allclose(np.asarray(dt_mm), np.asarray(dt_sc),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx_mm), np.asarray(dx_sc),
+                               rtol=1e-4, atol=1e-5)
+    # the fine level's unused trailing columns receive exactly zero grad
+    fine_rows = np.asarray(dt_mm)[3 * 8 * 8:]        # level-1 blocks
+    np.testing.assert_array_equal(fine_rows[:, 2:], 0.0)
+
+
 def test_backward_chunking_pads_correctly():
     # B not a multiple of bwd_chunk exercises the zero-padded tail
     spec = _spec(bwd_chunk=16)
