@@ -103,6 +103,51 @@ class NerfstudioProvider(Provider):
             self.pose_optimizer = np.tile(np.eye(4, dtype=np.float32),
                                           (self.n_images, 1, 1))
 
+        images, H, W = self._load_images()
+
+        masks = []
+        mask_paths = [p for p in self.masks_lis if os.path.isfile(p)]
+        native_masks = None
+        if len(mask_paths) == len(self.masks_lis) and mask_paths \
+                and os.environ.get("CUSTOMNERF_NATIVE_DECODE", "1") != "0":
+            from customnerf_tpu.utils import native
+            native_masks = native.decode_resize_batch(
+                mask_paths, H[0], W[0], gray=True, scale=1.0 / 256.0)
+        if native_masks is not None:
+            for m in native_masks:
+                m = m.copy()
+                m[m > 0] = 1.0
+                masks.append(m)
+        else:
+            for p in self.masks_lis:
+                if not os.path.isfile(p):
+                    print(f"[warning] missing mask {p}")
+                    mask = np.zeros((H[0], W[0]), np.float32)
+                else:
+                    mask = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 256.0
+                    mask = cv2.resize(mask, (W[0], H[0]), interpolation=cv2.INTER_AREA)
+                mask[mask > 0] = 1.0
+                masks.append(mask)
+        self.images, self.masks, self.H, self.W = images, masks, H, W
+
+    def _load_images(self):
+        """Decode + area-resize every view.  Prefers the native C++ batch
+        decoder (libjpeg/libpng in parallel threads, csrc/dataio.cpp —
+        ROADMAP framework #2: loader throughput on large scenes); falls back
+        to the per-file cv2 loop when codecs are unavailable, dimensions are
+        mixed, or CUSTOMNERF_NATIVE_DECODE=0."""
+        if os.environ.get("CUSTOMNERF_NATIVE_DECODE", "1") != "0":
+            from customnerf_tpu.utils import native
+            if native.has_image_codecs():
+                dims = [native.image_dims(p) for p in self.images_lis]
+                if all(d is not None for d in dims) and len(set(dims)) == 1:
+                    h0, w0 = dims[0]
+                    dh = int(h0 / self.resolution_level)
+                    dw = int(w0 / self.resolution_level)
+                    out = native.decode_resize_batch(
+                        self.images_lis, dh, dw, scale=1.0 / 256.0)
+                    if out is not None:
+                        return (list(out), [dh] * len(out), [dw] * len(out))
         images, H, W = [], [], []
         for p in self.images_lis:
             img = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
@@ -116,18 +161,7 @@ class NerfstudioProvider(Provider):
             H.append(img.shape[0])
             W.append(img.shape[1])
             images.append(img)
-
-        masks = []
-        for p in self.masks_lis:
-            if not os.path.isfile(p):
-                print(f"[warning] missing mask {p}")
-                mask = np.zeros((H[0], W[0]), np.float32)
-            else:
-                mask = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 256.0
-                mask = cv2.resize(mask, (W[0], H[0]), interpolation=cv2.INTER_AREA)
-            mask[mask > 0] = 1.0
-            masks.append(mask)
-        self.images, self.masks, self.H, self.W = images, masks, H, W
+        return images, H, W
 
     # -- rays ---------------------------------------------------------------
     def _generate_rays(self):

@@ -25,14 +25,17 @@ def _build() -> bool:
     src = os.path.join(_CSRC, "dataio.cpp")
     if not os.path.exists(src):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, src],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:
-        print(f"[WARN] native dataio build failed: {e}")
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, src]
+    # full build (ray engine + libjpeg/libpng decode), then a codec-less
+    # fallback for images without the system image libraries
+    for cmd in (base + ["-DHAVE_IMAGE_LIBS", "-ljpeg", "-lpng"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception as e:
+            last = e
+    print(f"[WARN] native dataio build failed: {last}")
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -58,10 +61,73 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.images_to_float.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), f32p, ctypes.c_int64,
             ctypes.c_float]
+        lib.has_image_codecs.restype = ctypes.c_int
+        if lib.has_image_codecs():
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.decode_resize_batch.argtypes = [
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float, ctypes.c_int]
+            lib.decode_resize_batch.restype = ctypes.c_int
+            lib.image_dims.argtypes = [
+                u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.image_dims.restype = ctypes.c_int
         _lib = lib
     except OSError as e:
         print(f"[WARN] native dataio load failed: {e}")
     return _lib
+
+
+def has_image_codecs() -> bool:
+    lib = get_lib()
+    return bool(lib is not None and lib.has_image_codecs())
+
+
+def image_dims(path: str):
+    """(H, W) from the file header via the native probe; None on failure."""
+    lib = get_lib()
+    if lib is None or not lib.has_image_codecs():
+        return None
+    data = np.fromfile(path, np.uint8)
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    rc = lib.image_dims(data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        data.size, ctypes.byref(h), ctypes.byref(w))
+    return (h.value, w.value) if rc == 0 else None
+
+
+def decode_resize_batch(paths, dh: int, dw: int, gray: bool = False,
+                        scale: float = 1.0 / 255.0, n_threads: int = 0):
+    """Decode JPEG/PNG files and area-resize to (dh, dw) in parallel C++
+    threads → float32 [n, dh, dw, 3] (or [n, dh, dw] when gray), scaled.
+
+    The multithreaded replacement for the per-file cv2.imread/resize loop
+    (ROADMAP framework #2 — loader throughput on large scenes).  Returns
+    None when codecs are unavailable or any file fails (callers fall back
+    to cv2)."""
+    lib = get_lib()
+    if lib is None or not lib.has_image_codecs():
+        return None
+    blobs = [np.fromfile(p, np.uint8) for p in paths]
+    if any(b.size == 0 for b in blobs):
+        return None
+    n = len(blobs)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8p * n)(*(b.ctypes.data_as(u8p) for b in blobs))
+    sizes = (ctypes.c_int64 * n)(*(b.size for b in blobs))
+    c = 1 if gray else 3
+    out = np.empty((n, dh, dw, c), np.float32)
+    if n_threads <= 0:
+        n_threads = min(max(os.cpu_count() or 1, 1), 8)
+    fails = lib.decode_resize_batch(
+        ptrs, sizes, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dh, dw, int(gray), ctypes.c_float(scale), n_threads)
+    if fails:
+        print(f"[WARN] native decode failed on {fails}/{n} images; "
+              "falling back to cv2")
+        return None
+    return out[..., 0] if gray else out
 
 
 def generate_rays_pinhole(c2w: np.ndarray, H: int, W: int, fx, fy, cx, cy,

@@ -111,6 +111,61 @@ def test_synthetic_provider_contract():
     assert 0.05 < float(np.asarray(b.mask).mean()) < 0.8
 
 
+def _write_mini_scene(d, rng, n=5, h=48, w=64):
+    import cv2
+
+    (d / "images").mkdir(parents=True)
+    (d / "fg").mkdir()
+    frames = []
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / "images" / f"frame_{i:03d}.jpg"), img)
+        cv2.imwrite(str(d / "fg" / f"frame_{i:03d}.png"),
+                    (rng.rand(h, w) > 0.5).astype(np.uint8) * 255)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [np.cos(i), np.sin(i), 1.0 + 0.1 * i]
+        frames.append({"file_path": f"images/frame_{i:03d}.jpg",
+                       "transform_matrix": c2w.tolist()})
+    meta = {"fl_x": 60.0, "fl_y": 60.0, "cx": w / 2.0, "cy": h / 2.0,
+            "w": w, "h": h, "frames": frames}
+    with open(d / "transforms.json", "w") as f:
+        json.dump(meta, f)
+
+
+def test_native_decode_matches_cv2_loader(tmp_path, monkeypatch):
+    """The C++ batch decoder (libjpeg/libpng + area resize,
+    csrc/dataio.cpp) must reproduce the cv2 loading path: images within
+    resize-rounding, masks exactly (post-threshold)."""
+    import pytest
+
+    from customnerf_tpu.utils import native
+
+    if not native.has_image_codecs():
+        pytest.skip("image codecs unavailable in this toolchain")
+
+    d = tmp_path / "scene"
+    _write_mini_scene(d, np.random.RandomState(3))
+    from customnerf_tpu.data.nerfstudio import NerfstudioProvider
+
+    opt = Config(data_type="nerfstudio", data_path=str(d), keyword="fg",
+                 train_resolution_level=2, train_size=11)
+
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "0")
+    p_cv = NerfstudioProvider(data_dir=str(d), split="train",
+                              resolution_level=2, opt=opt)
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "1")
+    p_nat = NerfstudioProvider(data_dir=str(d), split="train",
+                               resolution_level=2, opt=opt)
+
+    assert p_nat.H == p_cv.H and p_nat.W == p_cv.W
+    for a, b in zip(p_nat.images, p_cv.images):
+        np.testing.assert_allclose(a, b, atol=2.0 / 256.0)
+    for a, b in zip(p_nat.masks, p_cv.masks):
+        # thresholded {0, 1} masks must agree except at resize-boundary
+        # texels whose fractional coverage rounds differently
+        assert np.mean(a != b) < 0.02
+
+
 def test_nerfstudio_provider_loads_mini_scene(tmp_path):
     """Build a tiny on-disk nerfstudio scene and load it."""
     import cv2
