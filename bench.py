@@ -138,10 +138,13 @@ def main():
                            train=True, perturb=True)
 
     # ---- headline: tri-plane flagship on the fast path -------------------
+    # (128,512)×(16,8): keeps the 512 fine resolution (25.27 dB bear-fixture
+    # vs 25.38 at ×16) while halving the dominant R²·C backward matmul
     tri = TriplaneSpec(resolutions=(128, 512) if on_accel else (16, 32),
-                       channels=16 if on_accel else 4, bwd="matmul")
+                       channels=(16, 8) if on_accel else 4, bwd="matmul")
     field_tri, params_tri = make_field(tri)
-    headline = run(field_tri, params_tri, fast, "fast(-O) triplane 128+512x16")
+    headline = run(field_tri, params_tri, fast,
+                   "fast(-O) triplane 128+512x(16,8)")
 
     # ---- diagnostics ------------------------------------------------------
     def diag(fn, tag):
@@ -177,8 +180,12 @@ def main():
     # ---- editing-step rate (BASELINE.md "SDS edit iteration rate") -------
     edit_rate = None
     if on_accel and not os.environ.get("BENCH_SKIP_EDITING"):
+        import contextlib
         try:
-            edit_rate = bench_editing()
+            # trainer/guidance INFO prints go to stderr — stdout must stay
+            # exactly ONE JSON line for the driver
+            with contextlib.redirect_stdout(sys.stderr):
+                edit_rate = bench_editing()
         except Exception as e:
             print(f"[bench] editing bench failed: {e}", file=sys.stderr)
 

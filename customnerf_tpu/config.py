@@ -171,11 +171,13 @@ class Config:
     grid_type: str = "tiled"       # "tiled" (reference parity, network_grid.py:95)
                                    # | "hash" | "triplane" (TPU-tuned low-row field)
     triplane_res: List[int] = field(default_factory=lambda: [128, 512])
-    triplane_channels: List[int] = field(default_factory=lambda: [16])
+    triplane_channels: List[int] = field(default_factory=lambda: [16, 8])
                                    # one value = all levels; N values = per
                                    # level (backward flops scale R²·C, so
                                    # narrow fine levels buy throughput at
-                                   # unchanged resolution — docs/PERF.md)
+                                   # unchanged resolution: (128,512)×(16,8)
+                                   # measures 25.27 dB on the bear fixture vs
+                                   # 25.38 for ×16 — docs/PERF.md)
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5

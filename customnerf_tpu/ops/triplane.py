@@ -64,7 +64,10 @@ class TriplaneSpec:
     input_dim: int = 3
     bwd: str = "matmul"        # "matmul" (MXU, scatter-free) | "scatter" (autodiff)
     mm_bf16: bool = True       # run the backward matmuls in bf16 (f32 accumulate)
-    bwd_chunk: int = 4096      # samples per backward matmul chunk
+    bwd_chunk: int = 8192      # samples per backward matmul chunk (sweep:
+                               # 2048→68.0k, 4096→71.7k, 8192→72.2k,
+                               # 16384→73.2k rays/s at 4096 rays; 8192 holds
+                               # up at larger ray batches too)
     pack_span: int = 7         # packed-row v-span S (fwd row = 2(S+1)C channels)
     fwd_bf16: bool = False     # gather bf16 packed rows (−16% fwd, matches the
                                # reference's fp16 embeddings, grid.py:45-47)
@@ -193,24 +196,27 @@ def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
     matmul-backward custom_vjp; numerically identical to :func:`_encode_impl`
     up to matmul precision).
 
-    Extraction always runs at the table width ``Cmax`` (rows are fetched
-    whole either way — the gather unit is row-issue-bound); per-level output
-    blocks are the leading ``channels_at(l)`` columns."""
-    C, S = spec.max_channels, spec.pack_span
+    Each level packs and extracts at its OWN width ``channels_at(l)`` (the
+    table block is column-sliced before packing): narrow fine levels both
+    shave the wide-row gather penalty (256-ch rows gather at ~21 ns vs
+    ~18 ns ≤128-ch, docs/PERF.md) and halve the pack/extract traffic."""
+    S = spec.pack_span
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)
     B = x.shape[0]
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
-    S4 = _corner_sum_matrix(C)
-    fold = _fold_matrix(S + 1, C)
     iota = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
 
     outs, vals_all = [], []
     for k, (idx, w, fu, fv, u0, v0, _ab, R) in enumerate(_corner_data(x, spec)):
-        Cl = spec.channels_at(k // 3)
+        C = spec.channels_at(k // 3)
+        S4 = _corner_sum_matrix(C)
+        fold = _fold_matrix(S + 1, C)
         base = int(spec.plane_offsets.flatten()[k])
         tblock = jax.lax.slice_in_dim(table, base, base + R * R, axis=0)
+        if C < table.shape[1]:
+            tblock = tblock[:, :C]
         if spec.fwd_bf16:
             tblock = tblock.astype(jnp.bfloat16)
         packed, nv = _pack_plane(tblock, R, C, S)
@@ -235,8 +241,7 @@ def _encode_packed(x01, table, spec: TriplaneSpec, want_vals: bool = False):
         if want_vals:
             vals_all.append(vals)
         prod = vals * jnp.repeat(w, C, axis=1)
-        full = jnp.dot(prod, S4, preferred_element_type=jnp.float32)
-        outs.append(full if Cl == C else full[:, :Cl])
+        outs.append(jnp.dot(prod, S4, preferred_element_type=jnp.float32))
 
     out = jnp.concatenate(outs, axis=-1).astype(table.dtype)
     out = jnp.where(oob, jnp.zeros_like(out), out)
@@ -357,9 +362,9 @@ def _encode_mm_bwd(spec: TriplaneSpec, res, g):
         dT_blocks.append(dT)
 
         # input gradient from saved corner values (no re-gather):
-        # out = Σ_ij fu_i fv_j vals_ij; vals layout [B, 4Cmax] = (00,01,10,11)
+        # out = Σ_ij fu_i fv_j vals_ij; vals layout [B, 4·Cl] = (00,01,10,11)
         vals = vals_all[k]
-        cb = lambda i: vals[:, i * Cmax:i * Cmax + Cl]
+        cb = lambda i: vals[:, i * Cl:(i + 1) * Cl]
         v00, v01, v10, v11 = cb(0), cb(1), cb(2), cb(3)
         gv = lambda vv: jnp.sum(gk * vv, axis=-1)                  # [B]
         dfu = ((gv(v10) - gv(v00)) * (1 - fv) + (gv(v11) - gv(v01)) * fv)

@@ -102,6 +102,9 @@ def main():
         cfgs.append(("small(64,256)x16", TriplaneSpec(resolutions=(64, 256))))
     if args.cfg in ("big", "both"):
         cfgs.append(("big(128,512)x16", TriplaneSpec(resolutions=(128, 512))))
+    if args.cfg in ("mixed", "both"):
+        cfgs.append(("mixed(128,512)x(16,8)",
+                     TriplaneSpec(resolutions=(128, 512), channels=(16, 8))))
 
     B_samples = n_rays * 64
     xs = jnp.asarray(rng.rand(B_samples, 3).astype(np.float32))
