@@ -265,15 +265,62 @@ void resize_area(const uint8_t* src, int sh, int sw, float* dst, int dh,
   }
 }
 
+// bilinear resample (cv2 INTER_LINEAR semantics): dst pixel (y, x) samples
+// the source at ((y+0.5)·sy − 0.5, (x+0.5)·sx − 0.5), edge-clamped.  Used
+// by providers whose reference loader resizes with cv2's default interp
+// (LLFF) rather than INTER_AREA.
+void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
+                     int dw, int gray, float scale) {
+  const double sy = static_cast<double>(sh) / dh;
+  const double sx = static_cast<double>(sw) / dw;
+  const int dc = gray ? 1 : 3;
+  for (int y = 0; y < dh; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    if (fy < 0) fy = 0;
+    int iy0 = static_cast<int>(fy);
+    if (iy0 > sh - 1) iy0 = sh - 1;
+    const int iy1 = std::min(iy0 + 1, sh - 1);
+    const double wy1 = fy - iy0, wy0 = 1.0 - wy1;
+    for (int x = 0; x < dw; ++x) {
+      double fx = (x + 0.5) * sx - 0.5;
+      if (fx < 0) fx = 0;
+      int ix0 = static_cast<int>(fx);
+      if (ix0 > sw - 1) ix0 = sw - 1;
+      const int ix1 = std::min(ix0 + 1, sw - 1);
+      const double wx1 = fx - ix0, wx0 = 1.0 - wx1;
+      const uint8_t* p00 = src + (static_cast<size_t>(iy0) * sw + ix0) * 3;
+      const uint8_t* p01 = src + (static_cast<size_t>(iy0) * sw + ix1) * 3;
+      const uint8_t* p10 = src + (static_cast<size_t>(iy1) * sw + ix0) * 3;
+      const uint8_t* p11 = src + (static_cast<size_t>(iy1) * sw + ix1) * 3;
+      float* q = dst + (static_cast<size_t>(y) * dw + x) * dc;
+      if (gray) {
+        auto luma = [](const uint8_t* p) {
+          return 0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2];
+        };
+        const double v = wy0 * (wx0 * luma(p00) + wx1 * luma(p01)) +
+                         wy1 * (wx0 * luma(p10) + wx1 * luma(p11));
+        q[0] = static_cast<float>(v * scale);
+      } else {
+        for (int c = 0; c < 3; ++c) {
+          const double v = wy0 * (wx0 * p00[c] + wx1 * p01[c]) +
+                           wy1 * (wx0 * p10[c] + wx1 * p11[c]);
+          q[c] = static_cast<float>(v * scale);
+        }
+      }
+    }
+  }
+}
+
 }  // namespace
 
-// Decode n images (JPEG or PNG, auto-detected) and area-resize each to
+// Decode n images (JPEG or PNG, auto-detected) and resize each to
 // (dh, dw), writing float32 [n, dh, dw, 3] (or [n, dh, dw, 1] when gray)
-// scaled by `scale` (e.g. 1/255).  Parallel across images.  Returns the
+// scaled by `scale` (e.g. 1/255).  interp: 0 = INTER_AREA box filter,
+// 1 = INTER_LINEAR bilinear.  Parallel across images.  Returns the
 // number of failures (failed slots are zero-filled).
 int decode_resize_batch(const uint8_t** datas, const int64_t* sizes, int n,
                         float* dst, int dh, int dw, int gray, float scale,
-                        int n_threads) {
+                        int interp, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::vector<int> fails(n_threads, 0);
   const int64_t stride = static_cast<int64_t>(dh) * dw * (gray ? 1 : 3);
@@ -294,7 +341,12 @@ int decode_resize_batch(const uint8_t** datas, const int64_t* sizes, int n,
           fails[t]++;
           continue;
         }
-        resize_area(buf.data(), h, w, dst + i * stride, dh, dw, gray, scale);
+        if (interp == 1)
+          resize_bilinear(buf.data(), h, w, dst + i * stride, dh, dw, gray,
+                          scale);
+        else
+          resize_area(buf.data(), h, w, dst + i * stride, dh, dw, gray,
+                      scale);
       }
     });
   }

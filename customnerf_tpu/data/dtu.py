@@ -69,19 +69,46 @@ class DTUProvider(Provider):
             self.pose_all = R @ self.pose_all
 
         images, masks, H, W = [], [], [], []
-        for p in self.images_lis:
-            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32) / 256.0
-            img = cv2.resize(
-                img,
-                (int(img.shape[1] / self.resolution_level),
-                 int(img.shape[0] / self.resolution_level)),
-                interpolation=cv2.INTER_AREA)
-            H.append(img.shape[0]); W.append(img.shape[1]); images.append(img)
-        for p in self.masks_lis:
-            m = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 256.0
-            m = cv2.resize(m, (W[0], H[0]), interpolation=cv2.INTER_AREA)
-            m[m > 0] = 1.0
-            masks.append(m)
+        native_imgs = None
+        if os.environ.get("CUSTOMNERF_NATIVE_DECODE", "1") != "0":
+            # C++ batch decoder (csrc/dataio.cpp) — same INTER_AREA
+            # semantics, parallel across views; cv2 loop is the fallback
+            from customnerf_tpu.utils import native
+            if native.has_image_codecs():
+                dims = [native.image_dims(p) for p in self.images_lis]
+                if dims and all(d is not None for d in dims) \
+                        and len(set(dims)) == 1:
+                    dh = int(dims[0][0] / self.resolution_level)
+                    dw = int(dims[0][1] / self.resolution_level)
+                    native_imgs = native.decode_resize_batch(
+                        self.images_lis, dh, dw, scale=1.0 / 256.0)
+        if native_imgs is not None:
+            images = list(native_imgs)
+            H = [native_imgs.shape[1]] * len(images)
+            W = [native_imgs.shape[2]] * len(images)
+            native_masks = native.decode_resize_batch(
+                self.masks_lis, H[0], W[0], gray=True,
+                scale=1.0 / 256.0) if self.masks_lis else None
+            if native_masks is not None:
+                for m in native_masks:
+                    m = m.copy()
+                    m[m > 0] = 1.0
+                    masks.append(m)
+        if not images:
+            for p in self.images_lis:
+                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32) / 256.0
+                img = cv2.resize(
+                    img,
+                    (int(img.shape[1] / self.resolution_level),
+                     int(img.shape[0] / self.resolution_level)),
+                    interpolation=cv2.INTER_AREA)
+                H.append(img.shape[0]); W.append(img.shape[1]); images.append(img)
+        if not masks:
+            for p in self.masks_lis:
+                m = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 256.0
+                m = cv2.resize(m, (W[0], H[0]), interpolation=cv2.INTER_AREA)
+                m[m > 0] = 1.0
+                masks.append(m)
         if not masks:
             masks = [np.zeros((H[0], W[0]), np.float32) for _ in images]
         self.images, self.masks, self.H, self.W = images, masks, H, W

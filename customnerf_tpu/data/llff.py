@@ -185,17 +185,39 @@ class LLFFProvider(Provider):
 
         images, masks = [], []
         n_imgs = 1 if self.split == "test" else len(self.image_paths)
-        for i in range(n_imgs):
-            img = cv2.cvtColor(cv2.imread(self.image_paths[i]), cv2.COLOR_BGR2RGB)
-            img = cv2.resize(img, self.img_wh).astype(np.float32) / 255.0
-            images.append(img)
-            mp = self.mask_paths[i]
-            if os.path.isfile(mp):
-                m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
-                m = cv2.resize(m, self.img_wh).astype(np.float32) / 255.0
+        native_imgs = None
+        if os.environ.get("CUSTOMNERF_NATIVE_DECODE", "1") != "0":
+            # C++ batch decoder (csrc/dataio.cpp) with cv2-default bilinear
+            # resize semantics; the cv2 loop below is the fallback
+            from customnerf_tpu.utils import native
+            if native.has_image_codecs():
+                native_imgs = native.decode_resize_batch(
+                    self.image_paths[:n_imgs], H, W, interp="linear")
+        if native_imgs is not None:
+            images = list(native_imgs)
+            present = [i for i in range(n_imgs)
+                       if os.path.isfile(self.mask_paths[i])]
+            native_masks = native.decode_resize_batch(
+                [self.mask_paths[i] for i in present], H, W, gray=True,
+                interp="linear") if present else None
+            if native_masks is not None or not present:
+                masks = [np.zeros((H, W), np.float32) for _ in range(n_imgs)]
+                for j, i in enumerate(present):
+                    masks[i] = native_masks[j]
             else:
-                m = np.zeros((H, W), np.float32)
-            masks.append(m)
+                images = []  # partial native failure → cv2 for both
+        if not images:
+            for i in range(n_imgs):
+                img = cv2.cvtColor(cv2.imread(self.image_paths[i]), cv2.COLOR_BGR2RGB)
+                img = cv2.resize(img, self.img_wh).astype(np.float32) / 255.0
+                images.append(img)
+                mp = self.mask_paths[i]
+                if os.path.isfile(mp):
+                    m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
+                    m = cv2.resize(m, self.img_wh).astype(np.float32) / 255.0
+                else:
+                    m = np.zeros((H, W), np.float32)
+                masks.append(m)
         self.images, self.masks = images, masks
         self.images_lis = self.image_paths[:n_imgs]
         self.H = [H] * len(self.origins)

@@ -67,7 +67,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.decode_resize_batch.argtypes = [
                 ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_float, ctypes.c_int]
+                ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int]
             lib.decode_resize_batch.restype = ctypes.c_int
             lib.image_dims.argtypes = [
                 u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
@@ -98,9 +98,12 @@ def image_dims(path: str):
 
 
 def decode_resize_batch(paths, dh: int, dw: int, gray: bool = False,
-                        scale: float = 1.0 / 255.0, n_threads: int = 0):
-    """Decode JPEG/PNG files and area-resize to (dh, dw) in parallel C++
+                        scale: float = 1.0 / 255.0, n_threads: int = 0,
+                        interp: str = "area"):
+    """Decode JPEG/PNG files and resize to (dh, dw) in parallel C++
     threads → float32 [n, dh, dw, 3] (or [n, dh, dw] when gray), scaled.
+    interp: 'area' (cv2 INTER_AREA box filter — nerfstudio/DTU loaders) or
+    'linear' (cv2 INTER_LINEAR bilinear — LLFF's default-resize loader).
 
     The multithreaded replacement for the per-file cv2.imread/resize loop
     (ROADMAP framework #2 — loader throughput on large scenes).  Returns
@@ -122,7 +125,8 @@ def decode_resize_batch(paths, dh: int, dw: int, gray: bool = False,
         n_threads = min(max(os.cpu_count() or 1, 1), 8)
     fails = lib.decode_resize_batch(
         ptrs, sizes, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        dh, dw, int(gray), ctypes.c_float(scale), n_threads)
+        dh, dw, int(gray), ctypes.c_float(scale),
+        1 if interp == "linear" else 0, n_threads)
     if fails:
         print(f"[WARN] native decode failed on {fails}/{n} images; "
               "falling back to cv2")

@@ -102,6 +102,77 @@ def test_dtu_provider(tmp_path):
     assert np.abs(o - o[0]).max() < 1e-4
 
 
+def test_llff_native_decode_matches_cv2(tmp_path, monkeypatch):
+    """LLFF's native decode path (bilinear resize in csrc/dataio.cpp) must
+    reproduce the cv2 INTER_LINEAR loader within uint8 rounding."""
+    from customnerf_tpu.utils import native
+
+    if not native.has_image_codecs():
+        pytest.skip("image codecs unavailable in this toolchain")
+    root = str(tmp_path / "llff")
+    make_llff_scene(root)
+    opt = Config(data_type="llff", data_path=root, keyword="fg",
+                 train_size=5, is360Scene=True)
+    from customnerf_tpu.data.llff import LLFFProvider
+
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "0")
+    p_cv = LLFFProvider(data_dir=root, split="train", resolution_level=2,
+                        opt=opt)
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "1")
+    p_nat = LLFFProvider(data_dir=root, split="train", resolution_level=2,
+                         opt=opt)
+    assert p_nat.H == p_cv.H and p_nat.W == p_cv.W
+    for a, b in zip(p_nat.images, p_cv.images):
+        np.testing.assert_allclose(a, b, atol=2.0 / 255.0)
+    for a, b in zip(p_nat.masks, p_cv.masks):
+        np.testing.assert_allclose(a, b, atol=2.0 / 255.0)
+
+
+def test_dtu_native_decode_matches_cv2(tmp_path, monkeypatch):
+    """DTU's native decode path (area resize) vs the cv2 loader."""
+    from customnerf_tpu.utils import native
+
+    if not native.has_image_codecs():
+        pytest.skip("image codecs unavailable in this toolchain")
+    root = str(tmp_path / "dtu")
+    os.makedirs(os.path.join(root, "image"), exist_ok=True)
+    os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+    rng = np.random.RandomState(1)
+    n, H, W = 3, 30, 40
+    cams = {}
+    K = np.array([[60.0, 0, W / 2, 0], [0, 60.0, H / 2, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]])
+    from scipy.spatial.transform import Rotation
+    for i in range(n):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "image", f"{i:03d}.png"), img)
+        cv2.imwrite(os.path.join(root, "mask", f"{i:03d}.png"),
+                    (rng.rand(H, W) > 0.5).astype(np.uint8) * 255)
+        R = Rotation.random(random_state=rng).as_matrix()
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = rng.randn(3)
+        cams[f"world_mat_{i}"] = (K @ w2c).astype(np.float32)
+        cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+    np.savez(os.path.join(root, "cameras_sphere.npz"), **cams)
+
+    opt = Config(data_type="dtu", data_path=root, if_sphere=True, train_size=3)
+    from customnerf_tpu.data.dtu import DTUProvider
+
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "0")
+    p_cv = DTUProvider(data_dir=root, split="train", resolution_level=2,
+                       opt=opt)
+    monkeypatch.setenv("CUSTOMNERF_NATIVE_DECODE", "1")
+    p_nat = DTUProvider(data_dir=root, split="train", resolution_level=2,
+                        opt=opt)
+    assert p_nat.H == p_cv.H and p_nat.W == p_cv.W
+    for a, b in zip(p_nat.images, p_cv.images):
+        np.testing.assert_allclose(a, b, atol=2.0 / 256.0)
+    for a, b in zip(p_nat.masks, p_cv.masks):
+        # thresholded {0, 1} masks: boundary texels may round differently
+        assert np.mean(np.asarray(a) != np.asarray(b)) < 0.02
+
+
 def test_facade_dispatch(tmp_path):
     opt = Config(data_type="synthetic", train_size=3)
     from customnerf_tpu.data.base import NeRFDataset
