@@ -93,3 +93,35 @@ def test_sample_pdf_matches_torch_reference():
     want = (bins_g0 + t * (bins_g1 - bins_g0)).numpy()
 
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_neus_sdf_helpers_match_torch_oracle():
+    """NeuS Φ_s / sdf→α / sdf→w / α→w parity surface (reference
+    renderer.py:56-111) vs an independent torch oracle.  The grid pipeline
+    never trains an SDF, but the ops are exported — keep them honest."""
+    from customnerf_tpu.ops.composite import (alpha_to_w, cdf_phi_s,
+                                              sdf_to_alpha, sdf_to_w)
+
+    rng = np.random.RandomState(3)
+    sdf = rng.randn(5, 17).astype(np.float32) * 0.3
+    s = 64.0
+
+    t = torch.tensor(sdf)
+    t_cdf = torch.sigmoid(t * s)
+    t_alpha = torch.clamp_min(
+        (t_cdf[..., :-1] - t_cdf[..., 1:]) / (t_cdf[..., :-1] + 1e-10), 0)
+    shifted = torch.cat(
+        [torch.ones_like(t_alpha[..., :1]), 1.0 - t_alpha + 1e-10], dim=-1)
+    t_w = t_alpha * torch.cumprod(shifted, dim=-1)[..., :-1]
+
+    j = jnp.asarray(sdf)
+    np.testing.assert_allclose(np.asarray(cdf_phi_s(j, s)), t_cdf.numpy(),
+                               rtol=1e-6, atol=1e-7)
+    cdf, alpha = sdf_to_alpha(j, s)
+    np.testing.assert_allclose(np.asarray(alpha), t_alpha.numpy(),
+                               rtol=1e-5, atol=1e-7)
+    cdf2, alpha2, w = sdf_to_w(j, s)
+    np.testing.assert_allclose(np.asarray(w), t_w.numpy(),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(alpha_to_w(jnp.asarray(alpha))),
+                               t_w.numpy(), rtol=1e-5, atol=1e-7)

@@ -233,3 +233,21 @@ def test_clip_scores(monkeypatch):
     # identical edits → direction degenerates; score of identical images ~0/1
     same = cv.clip_directional_score(m, imgs_a, imgs_a, "a bear", "a corgi")
     assert abs(same) < 1e-3
+
+
+def test_specify_gradient_injects_cotangent():
+    """``specify_gradient`` (reference SpecifyGradient, sd.py:13-26): forward
+    is a constant 1, backward routes the precomputed grad into x scaled by
+    the upstream cotangent."""
+    import jax
+
+    from customnerf_tpu.guidance.sds import specify_gradient
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    gt = jnp.full((2, 3), 0.25)
+
+    val, grad = jax.value_and_grad(
+        lambda x_: 2.0 * specify_gradient(x_, gt))(x)
+    assert float(val) == 2.0
+    np.testing.assert_allclose(np.asarray(grad), 0.5 * np.ones((2, 3)),
+                               rtol=1e-6)
