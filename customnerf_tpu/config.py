@@ -179,6 +179,13 @@ class Config:
                                    # measures 25.27 dB on the bear fixture vs
                                    # 25.38 for ×16 — docs/PERF.md)
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
+    compact_frac: float = 0.0      # >0: cross-ray active-sample compaction
+                                   # on the -O fast path — the field runs on
+                                   # ~frac of the [N, n_keep] slab, packed
+                                   # across ray blocks (ops/compaction.py).
+                                   # Exact unless a block overflows; real
+                                   # captures fill ~30% → 0.5 is safe.
+    compact_block: int = 16        # rays per compaction block
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
     ckpt_format: str = "pth"       # "pth" (reference contract) | "orbax"
@@ -213,6 +220,12 @@ class Config:
         if self.ckpt_format not in ("pth", "orbax"):
             raise ValueError(
                 f"--ckpt_format must be pth|orbax, got {self.ckpt_format}")
+        if not 0.0 <= self.compact_frac <= 1.0:
+            raise ValueError(
+                f"--compact_frac must be in [0, 1], got {self.compact_frac}")
+        if self.compact_block <= 0:
+            raise ValueError(
+                f"--compact_block must be positive, got {self.compact_block}")
 
     @property
     def cascade(self) -> int:

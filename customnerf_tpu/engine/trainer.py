@@ -288,7 +288,9 @@ class Trainer:
                     n_coarse=n_coarse,
                     n_keep=n_total,
                     train=train, perturb=perturb, bg_color=bg_color,
-                    apply_fns=apply_fns(p))
+                    apply_fns=apply_fns(p),
+                    compact_frac=opt.compact_frac,
+                    compact_block=opt.compact_block)
         else:
             def render(p, occ, o, d, key, train, perturb, bg_color=None):
                 return render_rays(field, p, o, d, key, s, train=train,

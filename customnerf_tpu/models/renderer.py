@@ -223,6 +223,56 @@ def _add_fg_bg(results, sigmas, rgbs, masks, z_all, sample_dist, nears, fars,
     )
 
 
+def _eval_field_compacted(apply_fn, xyz, dirs, valid, frac, block_rays):
+    """Evaluate the field on the cross-ray-compacted slab (ops/compaction).
+
+    Permutes rays with a fixed coprime stride (raster-ordered batches put
+    all of an object's rays in the same blocks), packs each block's valid
+    samples into a static budget of ``frac``·G·K slots with the one-hot
+    MXU matmul, runs the field on NB·budget samples instead of N·K, and
+    scatters σ/radiance back with the transposed matmul.  Returns
+    (sigmas [N, K], radiance [N, K, R], dt_mult [N]) where dt_mult is the
+    per-ray even-stride quadrature scale (1 unless a block overflowed)."""
+    from customnerf_tpu.ops.compaction import (block_budget, compact_blocks,
+                                               ray_permutation,
+                                               uncompact_blocks)
+
+    N, K, _ = xyz.shape
+    G = block_rays
+    n_pad = (-N) % G
+    if n_pad:
+        # edge-replicate (zero-padding poisons grads via NaN activations —
+        # see the editing-mesh padding fix)
+        xyz = jnp.concatenate([xyz, jnp.repeat(xyz[-1:], n_pad, 0)], 0)
+        dirs = jnp.concatenate([dirs, jnp.repeat(dirs[-1:], n_pad, 0)], 0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((n_pad, K), valid.dtype)], 0)
+    Np = N + n_pad
+
+    perm, inv_perm = ray_permutation(Np)
+    xyz_p, dirs_p, valid_p = xyz[perm], dirs[perm], valid[perm]
+
+    budget = block_budget(G, K, frac)
+    vals = jnp.concatenate([xyz_p, dirs_p], axis=-1)          # [Np, K, 6]
+    vals_c, onehot, slot_valid, block_scale = compact_blocks(
+        valid_p, vals, G, budget)
+    xyz_c, dirs_c = vals_c[..., :3], vals_c[..., 3:]
+    # dead slots read all-zero rows — harmless inputs (no dir normalization
+    # anywhere in the field), but mask the outputs anyway so a pathological
+    # σ at the origin can't leak through the scatter-back matmul
+    sig_c, rad_c = apply_fn(xyz_c, dirs_c)                    # [NB, M(, R)]
+    out_c = jnp.concatenate(
+        [sig_c[..., None].astype(jnp.float32),
+         rad_c.astype(jnp.float32)], axis=-1)
+    out_c = out_c * slot_valid[..., None]
+    out = uncompact_blocks(onehot, out_c).reshape(Np, K, -1)  # [Np, K, 1+R]
+
+    sigmas = out[..., 0][inv_perm][:N]
+    radiance = out[..., 1:][inv_perm][:N]
+    dt_mult = jnp.repeat(block_scale[:, 0], G)[inv_perm][:N]
+    return sigmas, radiance, dt_mult
+
+
 def render_rays_fast(
     field,
     params,
@@ -237,11 +287,21 @@ def render_rays_fast(
     perturb: bool = False,
     bg_color=None,
     apply_fns=None,
+    compact_frac: float = 0.0,
+    compact_block: int = 16,
 ):
     """Occupancy-grid fast path (the reference's ``-O``/``run_cuda`` mode,
     renderer.py:597-718): march only occupied cells, evaluate the field on a
     fixed [N, n_keep] slab, composite with per-sample dt.  Same output dict
-    as :func:`render_rays`."""
+    as :func:`render_rays`.
+
+    ``compact_frac`` > 0 enables cross-ray active-sample compaction
+    (ops/compaction.py): the field evaluates only ~frac of the slab's
+    slots, packed across blocks of ``compact_block`` rays — exact when no
+    block overflows its budget, even-stride subsampled (with a quadrature
+    dt scale) when one does.  Real captures fill ~30% of the slab, so
+    frac≈0.5 leaves multiple binomial σ of headroom while skipping most
+    dead slots."""
     from customnerf_tpu.ops.occupancy import march_rays_occupancy
 
     aabb = jnp.asarray(
@@ -268,9 +328,16 @@ def render_rays_fast(
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
 
     if apply_fns is not None:
-        sigmas, radiance = apply_fns[0](xyz, dirs)
+        apply_fn = apply_fns[0]
     else:
-        sigmas, radiance = field.apply(params, xyz, dirs)
+        apply_fn = lambda x, d: field.apply(params, x, d)
+
+    if compact_frac and compact_frac > 0.0:
+        sigmas, radiance, dt_mult = _eval_field_compacted(
+            apply_fn, xyz, dirs, valid, compact_frac, compact_block)
+        dt_scale = dt_scale * dt_mult[:, None]
+    else:
+        sigmas, radiance = apply_fn(xyz, dirs)
     sigmas = sigmas * valid.astype(sigmas.dtype)
     rgbs = radiance[..., :3]
     masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
