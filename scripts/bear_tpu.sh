@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Two-phase bear recipe with the TPU-TUNED flagship field — same pipeline
+# as scripts/bear.sh (reference parity recipe) but using the quality-gated
+# fast configuration (docs/PERF.md):
+#   * -O occupancy fast path
+#   * tri-plane field (128,512)x(16,8)  (25.25 dB on the bear-class fixture
+#     vs 25.55 for the reference-parity 16x2 grid — inside +-0.5 dB)
+#   * 40 kept samples/ray, cross-ray compaction 0.4 over 32-ray blocks
+# ~217k rays/s/chip train step on a v5e (vs 1.3k for the parity grid).
+set -e
+
+DATA=${1:-/data/bear}
+TPU_FLAGS=(--grid_type triplane --triplane_res 128 512
+           --triplane_channels 16 8 --num_steps 40 --upsample_steps 0
+           --compact_frac 0.4 --compact_block 32)
+
+# phase 1: reconstruction with mask channel
+python main.py -O \
+  --data_type nerfstudio --data_path "$DATA" --keyword lang_bear \
+  --workspace outputs/bear_recon_tpu \
+  --iters 3000 --train_resolution_level 7 --eval_resolution_level 4 \
+  --bound 2 --train_conf 0.01 --soft_mask \
+  "${TPU_FLAGS[@]}" \
+  --ckpt scratch
+
+# phase 2: text-driven edit via LGIE + SDS (compaction off here: the fused
+# editing graph is large — docs/ROADMAP.md perf #6)
+python main.py -O \
+  --data_type nerfstudio --data_path "$DATA" --keyword lang_bear \
+  --workspace outputs/bear_edit_tpu \
+  --iters 3000 --train_resolution_level 7 --eval_resolution_level 4 \
+  --bound 2 --train_conf 0.01 --soft_mask \
+  --grid_type triplane --triplane_res 128 512 --triplane_channels 16 8 \
+  --num_steps 40 --upsample_steps 0 \
+  --pretrained --editing_from outputs/bear_recon_tpu/checkpoints/df_ep0030.pth \
+  --text "a corgi in a forest" --text_fg "a corgi" \
+  --lambda_sd 0.01 --keep_bg 1000 --cfg 100 \
+  --random_bg_c --detach_bg --clip_view --stage_time \
+  --sd_version 1.5 --sd_weights "${SD_WEIGHTS:-}" \
+  --clip_weights "${CLIP_WEIGHTS:-}" \
+  --ckpt scratch

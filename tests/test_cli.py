@@ -60,3 +60,23 @@ def test_use_cd_and_tpu_extensions():
 def test_invalid_backend_rejected():
     with pytest.raises((ValueError, SystemExit)):
         parse_args(["--backend", "cuda"])
+
+
+def test_bear_tpu_recipe_flags_parse():
+    """scripts/bear_tpu.sh — the TPU-tuned flagship recipe must parse."""
+    opt = parse_args([
+        "-O", "--data_type", "nerfstudio", "--data_path", "/data/bear",
+        "--keyword", "lang_bear", "--workspace", "outputs/bear_recon_tpu",
+        "--iters", "3000", "--train_resolution_level", "7",
+        "--eval_resolution_level", "4", "--bound", "2",
+        "--train_conf", "0.01", "--soft_mask",
+        "--grid_type", "triplane", "--triplane_res", "128", "512",
+        "--triplane_channels", "16", "8",
+        "--num_steps", "40", "--upsample_steps", "0",
+        "--compact_frac", "0.4", "--compact_block", "32",
+        "--ckpt", "scratch",
+    ])
+    assert opt.cuda_ray and opt.grid_type == "triplane"
+    assert opt.triplane_res == [128, 512]
+    assert opt.triplane_channels == [16, 8]
+    assert opt.compact_frac == 0.4 and opt.compact_block == 32

@@ -215,3 +215,27 @@ def test_editing_step_honors_occupancy_fast_path(tmp_path, monkeypatch):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         trainer.params, p_before)
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
+def test_editing_step_with_cross_ray_compaction(tmp_path, monkeypatch):
+    """-O editing composes with --compact_frac: the compacted field eval
+    sits inside the SDS surrogate backward; loss finite, params move."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    opt = _opt(str(tmp_path / "c"), cuda_ray=True, compact_frac=0.5,
+               compact_block=8)
+    from test_editing import TinyGuidance
+    trainer = Trainer("df", opt, guidance=TinyGuidance(opt),
+                      use_checkpoint="scratch")
+    loader = NeRFDataset(opt, type="train").dataloader()
+
+    p_before = jax.tree_util.tree_map(np.asarray, trainer.params)
+    trainer.global_step = 1
+    loss, aux = ed.editing_step(trainer, loader.item(0), jax.random.PRNGKey(5))
+    assert np.isfinite(float(aux["loss_sds"]))
+    assert np.isfinite(float(aux["loss_bg"]))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        trainer.params, p_before)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
