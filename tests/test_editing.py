@@ -42,7 +42,13 @@ class TinyGuidance(StableDiffusionGuidance):
 
         class _Tok:
             def get_text_embeds(self, p, n):
-                h = abs(hash((tuple(p), tuple(n)))) % (2 ** 31)
+                # crc32, NOT hash(): Python's str hash is salted per process
+                # (PYTHONHASHSEED), which made every pytest run draw
+                # DIFFERENT fake embeddings — the sharded≡single editing
+                # equivalence then flaked on whichever draws produced
+                # near-zero gradients (the round-2 "order-dependent" test)
+                import zlib
+                h = zlib.crc32("\x1f".join(list(p) + list(n)).encode())
                 return jax.random.normal(jax.random.PRNGKey(h), (2, 77, 32))
 
         self.text_encoder = _Tok()

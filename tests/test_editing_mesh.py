@@ -75,7 +75,18 @@ def test_sharded_editing_step_matches_single_device(tmp_path, monkeypatch):
     flat_b = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(np.asarray, t_mesh.params))
     for a, b in zip(flat_a, flat_b):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        _assert_close_leafscaled(a, b)
+
+
+def _assert_close_leafscaled(a, b, rel=1e-3, floor=1e-6):
+    """Sharded≡single gradient comparison with a per-LEAF scale: psum
+    reassociation perturbs each entry by ~ε·(magnitude of the summed
+    terms), which is set by the leaf's gradient scale, not by that entry's
+    own magnitude — elementwise rtol flakes on near-zero entries whose
+    absolute error is inherited from large cancelling terms."""
+    scale = max(np.abs(a).max(), np.abs(b).max(), floor)
+    err = np.abs(a - b).max()
+    assert err <= rel * scale + floor, (err, scale)
 
 
 def test_sharded_editing_step_nonsquare_nondivisible(tmp_path, monkeypatch):
@@ -109,7 +120,7 @@ def test_sharded_editing_step_nonsquare_nondivisible(tmp_path, monkeypatch):
         jax.tree_util.tree_map(np.asarray, t_mesh.params))
     for a, b in zip(flat_a, flat_b):
         assert np.isfinite(a).all() and np.isfinite(b).all()
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        _assert_close_leafscaled(a, b)
 
 
 def test_multi_scene_editing_step(tmp_path, monkeypatch):
@@ -161,8 +172,7 @@ def test_multi_scene_editing_step(tmp_path, monkeypatch):
                                rtol=1e-3, atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-5)
+        _assert_close_leafscaled(np.asarray(a), np.asarray(b))
 
 
 def test_multi_scene_editing_step_nonsquare(tmp_path, monkeypatch):
