@@ -154,3 +154,27 @@ def test_cli_accepts_compact_flags():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_compacted_render_ray_count_not_divisible_by_block():
+    """N % compact_block != 0 exercises the edge-replicate ray padding
+    inside _eval_field_compacted (zero-padding would NaN the grads — the
+    editing-mesh padding lesson)."""
+    field, params, o, d, occ, s = _setup(n_rays=42)
+    key = jax.random.PRNGKey(1)
+    kw = dict(n_coarse=32, n_keep=16, train=True, perturb=True)
+    ref = render_rays_fast(field, params, o, d, occ, key, s, **kw)
+    got = render_rays_fast(field, params, o, d, occ, key, s,
+                           compact_frac=1.0, compact_block=8, **kw)
+    np.testing.assert_allclose(np.asarray(got["image"]),
+                               np.asarray(ref["image"]),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss(p):
+        out = render_rays_fast(field, p, o, d, occ, key, s,
+                               compact_frac=0.5, compact_block=8, **kw)
+        return jnp.mean(out["image"] ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
