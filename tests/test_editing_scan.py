@@ -132,3 +132,25 @@ def test_trainer_epoch_uses_fused_editing(tmp_path, monkeypatch):
     trainer.train_one_epoch(loader)
     assert called["n"] == 2          # 4 views / 2 per dispatch
     assert trainer.global_step == 4
+
+
+def test_fused_scan_with_compaction(tmp_path, monkeypatch):
+    """Fused K-step editing scan composes with --compact_frac (+ -O): the
+    compacted field eval sits inside the scanned surrogate backward."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    t = _mk(str(tmp_path / "c"), O=True, compact_frac=0.5, compact_block=8)
+    assert t.occ_state is not None
+    loader = NeRFDataset(t.opt, type="train").dataloader()
+    batch = loader.item(0)
+
+    p_before = jax.tree_util.tree_map(np.asarray, t.params)
+    t.global_step = 0
+    keys = list(jax.random.split(jax.random.PRNGKey(3), 2))
+    losses, auxes = ed.editing_steps_many(t, [batch, batch], keys)
+    assert np.isfinite(np.asarray(losses)).all()
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        t.params, p_before)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
