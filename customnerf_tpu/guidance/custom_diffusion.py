@@ -226,9 +226,14 @@ class ConceptDataset:
 
 
 # -------------------------------------------------------- state save/resume
-def _save_cd_state(output_dir: str, step: int, trainable, opt_state):
+def _save_cd_state(output_dir: str, step: int, trainable, opt_state,
+                   data_rng_state=None):
     """Mid-run state dir (the reference's accelerate ``save_state``
-    checkpoint-{step} layout, train_custom_diffusion.py:1060-1083)."""
+    checkpoint-{step} layout, train_custom_diffusion.py:1060-1083).
+    ``data_rng_state`` captures the dataset sampler's RandomState so a
+    resumed run continues the exact augmentation/sampling sequence (the
+    jax key and timestep rng are replayed arithmetically instead — their
+    per-step consumption is fixed; the dataset's is data-dependent)."""
     import pickle
 
     d = os.path.join(output_dir, f"checkpoint-{step}")
@@ -240,7 +245,8 @@ def _save_cd_state(output_dir: str, step: int, trainable, opt_state):
                      "trainable_leaves": [np.asarray(l) for l in leaves_t],
                      "trainable_treedef": pickle.dumps(tdef_t),
                      "opt_leaves": [np.asarray(l) for l in leaves_o],
-                     "opt_treedef": pickle.dumps(tdef_o)}, f)
+                     "opt_treedef": pickle.dumps(tdef_o),
+                     "data_rng_state": data_rng_state}, f)
     return d
 
 
@@ -255,7 +261,7 @@ def _load_cd_state(path: str):
     opt_state = jax.tree_util.tree_unflatten(
         pickle.loads(st["opt_treedef"]),
         [jnp.asarray(l) for l in st["opt_leaves"]])
-    return st["step"], trainable, opt_state
+    return st["step"], trainable, opt_state, st.get("data_rng_state")
 
 
 def _latest_cd_checkpoint(output_dir: str) -> Optional[str]:
@@ -378,7 +384,10 @@ def train_custom_diffusion(
         path = (resume_from_checkpoint if resume_from_checkpoint != "latest"
                 else _latest_cd_checkpoint(output_dir))
         if path and os.path.isdir(str(path)):
-            start_step, trainable, opt_state = _load_cd_state(str(path))
+            start_step, trainable, opt_state, data_rng = \
+                _load_cd_state(str(path))
+            if data_rng is not None:
+                ds.rng.set_state(data_rng)
             print(f"[cd-tune] resumed from {path} at step {start_step}")
         else:
             print(f"[cd-tune] checkpoint '{resume_from_checkpoint}' not "
@@ -429,7 +438,8 @@ def train_custom_diffusion(
             print(f"[cd-tune] step {step_i} loss {float(loss):.4f}")
         if checkpointing_steps and step_i % checkpointing_steps == 0 \
                 and step_i < steps:
-            _save_cd_state(output_dir, step_i, trainable, opt_state)
+            _save_cd_state(output_dir, step_i, trainable, opt_state,
+                           data_rng_state=ds.rng.get_state())
         if validation_prompt and step_i % validation_steps == 0:
             _cd_validation(guidance, te_params, trainable, token_id,
                            validation_prompt, num_validation_images,

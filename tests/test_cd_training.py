@@ -146,9 +146,12 @@ def test_cd_tuning_checkpoint_resume(tiny_sd, tmp_path, monkeypatch):
         checkpointing_steps=1)
     ckpt = cd._latest_cd_checkpoint(out)
     assert ckpt is not None and ckpt.endswith("checkpoint-1")
-    step, trainable, opt_state = cd._load_cd_state(ckpt)
+    step, trainable, opt_state, data_rng = cd._load_cd_state(ckpt)
     assert step == 1
     assert np.isfinite(np.asarray(trainable["tok_row"])).all()
+    # the dataset sampler's RandomState travels with the checkpoint so a
+    # resumed run continues the exact augmentation/sampling stream
+    assert data_rng is not None and data_rng[0] == "MT19937"
 
     # phase 2: resume from latest and run to 3 steps total
     cd.train_custom_diffusion(
