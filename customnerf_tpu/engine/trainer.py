@@ -44,6 +44,28 @@ from customnerf_tpu.ops.grid import GridSpec
 from customnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
+def fetch_tree(tree):
+    """Pull a whole device pytree to host in ONE transfer.
+
+    Each blocking ``np.asarray(leaf)`` costs a full tunnel round-trip;
+    eval/test pull 4-7 arrays per rendered frame, which adds up to tens of
+    seconds per bear run.  Ravel-concat the leaves on device (cheap, fuses)
+    and split on host."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if len(leaves) <= 1:
+        return jax.tree_util.tree_map(np.asarray, tree)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    flat = jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    host = np.asarray(flat)
+    outs, i = [], 0
+    for sh, n in zip(shapes, sizes):
+        outs.append(host[i:i + n].reshape(sh))
+        i += n
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
 def build_encoder_spec(opt):
     """Position-encoder spec from flags: hash/tiled grid (reference parity)
     or tri-plane (--grid_type triplane, the TPU-tuned low-row-count field)."""
@@ -595,7 +617,7 @@ class Trainer:
             if not self.opt.val_all_images and i >= 4:
                 break
             H, W = batch.H, batch.W
-            out = self.render_image(batch.rays_o, batch.rays_d)
+            out = fetch_tree(self.render_image(batch.rays_o, batch.rays_d))
             gt = np.asarray(batch.rgbs).reshape(H, W, 3)
             rgb = np.asarray(out["image"]).reshape(H, W, 3)
             mse = float(np.mean((rgb - gt) ** 2))
@@ -662,13 +684,14 @@ class Trainer:
         all_preds = []
         for i, batch in enumerate(loader):
             H, W = batch.H, batch.W
-            out = self.render_image(batch.rays_o, batch.rays_d)
+            out = fetch_tree(self.render_image(batch.rays_o, batch.rays_d))
             pred = np.asarray(out["image"]).reshape(H, W, 3)
             if self.opt.pretrained and self.params_pretrained is not self.params:
                 # side-by-side with the frozen pretrained render
                 # (utils_init_nerf.py:468-472)
-                out_pt = self.render_image(batch.rays_o, batch.rays_d,
-                                           params=self.params_pretrained)
+                out_pt = fetch_tree(self.render_image(
+                    batch.rays_o, batch.rays_d,
+                    params=self.params_pretrained))
                 pred = np.concatenate(
                     [pred, np.asarray(out_pt["image"]).reshape(H, W, 3)],
                     axis=1)
