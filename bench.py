@@ -312,6 +312,27 @@ def bench_editing():
     fused_rate = n_rep * K / (tick() - t0)
     print(f"[bench] editing fused scan (K={K}): {fused_rate:.3f} iters/s",
           file=sys.stderr)
+
+    # optional: compacted editing render (opt-in via BENCH_EDIT_COMPACT=1 —
+    # the fused render+UNet+VAE graph with compaction residuals once blew
+    # past 25 min of compile; compact_remat now recomputes them in the
+    # backward, but keep the driver's default bench safe until the compile
+    # is re-proven on chip — docs/ROADMAP.md perf #6)
+    if os.environ.get("BENCH_EDIT_COMPACT"):
+        opt.compact_frac, opt.compact_block = 0.4, 32
+        trainer._compiled.pop("editing_many", None)  # force a re-build
+        t0c = time.perf_counter()
+        keys = list(jax.random.split(jax.random.PRNGKey(23), K))
+        ed.editing_steps_many(trainer, [batch] * K, keys)  # compile
+        print(f"[bench] compacted editing compile: "
+              f"{time.perf_counter() - t0c:.0f}s", file=sys.stderr)
+        t0 = tick()
+        for i in range(n_rep):
+            keys = list(jax.random.split(jax.random.PRNGKey(29 + i), K))
+            ed.editing_steps_many(trainer, [batch] * K, keys)
+        comp_rate = n_rep * K / (tick() - t0)
+        print(f"[bench] editing fused scan + compaction 0.4: "
+              f"{comp_rate:.3f} iters/s", file=sys.stderr)
     return fused_rate
 
 

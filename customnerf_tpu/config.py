@@ -163,6 +163,12 @@ class Config:
     mesh_shape: str = ""           # e.g. "data:8"; empty = single chip
     sd_weights: Optional[str] = None   # local dir with torch SD weights to load
     clip_weights: Optional[str] = None  # local CLIP ViT-B/32 weights
+    clip_metrics: bool = False     # report CLIP score (and, with
+                                   # --clip_ref_text + --pretrained, CLIP
+                                   # directional score) over --test renders;
+                                   # the paper's Table-1 metric family
+    clip_ref_text: str = ""        # pre-edit scene caption for the
+                                   # directional score ("before" text)
     grid_levels: int = 16
     grid_level_dim: int = 2
     grid_base_resolution: int = 16

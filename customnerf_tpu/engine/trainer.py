@@ -312,7 +312,12 @@ class Trainer:
                     train=train, perturb=perturb, bg_color=bg_color,
                     apply_fns=apply_fns(p),
                     compact_frac=opt.compact_frac,
-                    compact_block=opt.compact_block)
+                    compact_block=opt.compact_block,
+                    # editing graphs (render+VAE+UNet, full-image rays)
+                    # cannot afford the saved one-hot residuals — remat the
+                    # compacted eval there; recon keeps the saved-residual
+                    # fast path (see renderer.render_rays_fast docstring)
+                    compact_remat=opt.pretrained)
         else:
             def render(p, occ, o, d, key, train, perturb, bg_color=None):
                 return render_rays(field, p, o, d, key, s, train=train,
@@ -682,19 +687,23 @@ class Trainer:
         self.log(f"==> Start Test, save results to {save_path}")
 
         all_preds = []
+        clip_after, clip_before = [], []
         for i, batch in enumerate(loader):
             H, W = batch.H, batch.W
             out = fetch_tree(self.render_image(batch.rays_o, batch.rays_d))
             pred = np.asarray(out["image"]).reshape(H, W, 3)
+            if self.opt.clip_metrics:
+                clip_after.append(pred)
             if self.opt.pretrained and self.params_pretrained is not self.params:
                 # side-by-side with the frozen pretrained render
                 # (utils_init_nerf.py:468-472)
                 out_pt = fetch_tree(self.render_image(
                     batch.rays_o, batch.rays_d,
                     params=self.params_pretrained))
-                pred = np.concatenate(
-                    [pred, np.asarray(out_pt["image"]).reshape(H, W, 3)],
-                    axis=1)
+                pt = np.asarray(out_pt["image"]).reshape(H, W, 3)
+                if self.opt.clip_metrics:
+                    clip_before.append(pt)
+                pred = np.concatenate([pred, pt], axis=1)
             if (self.opt.train_conf and self.opt.render_all
                     and "render_mask" in out):
                 # [rgb | pred_mask | fg | bg] strip (utils_init_nerf.py:474-481)
@@ -719,7 +728,59 @@ class Trainer:
                 vw.release()
             except Exception as e:
                 self.log(f"[WARN] mp4 write failed ({e}); PNGs saved.")
+        if self.opt.clip_metrics and clip_after:
+            self.report_clip_metrics(np.stack(clip_after),
+                                     np.stack(clip_before) if clip_before
+                                     else None, save_path, name)
         self.log("==> Finished Test.")
+
+    def report_clip_metrics(self, after, before, save_path, name):
+        """CLIP score / directional score over test renders (--clip_metrics).
+
+        The CustomNeRF paper reports CLIP-family editing metrics (Table 1);
+        the reference repo computes none — this is the rebuild's native
+        evaluation hook (docs/ROADMAP.md framework #2).  ``after`` is the
+        edited render stack [B,H,W,3]; ``before`` the frozen pretrained
+        renders (present under --pretrained) for the directional score
+        against --clip_ref_text → --text."""
+        from customnerf_tpu.guidance.clip_view import (
+            CLIPViewMatcher, clip_directional_score, clip_score)
+
+        matcher = getattr(self, "clip_matcher", None)
+        if matcher is None:
+            if not self.opt.clip_weights and not self.opt.allow_random_guidance:
+                self.log(
+                    "[WARN] --clip_metrics without --clip_weights: scores "
+                    "from a RANDOM CLIP are meaningless. Provide "
+                    "--clip_weights (or force with --allow_random_guidance). "
+                    "Skipping.")
+                return None
+            matcher = CLIPViewMatcher(weights_dir=self.opt.clip_weights)
+            self.clip_matcher = matcher
+
+        metrics = {"clip_score": clip_score(matcher, after, self.opt.text),
+                   "text": self.opt.text, "n_views": int(len(after))}
+        if before is not None and self.opt.clip_ref_text:
+            metrics["clip_directional"] = clip_directional_score(
+                matcher, before, after, self.opt.clip_ref_text, self.opt.text)
+            metrics["ref_text"] = self.opt.clip_ref_text
+        elif before is not None:
+            self.log("[WARN] --clip_metrics: no --clip_ref_text given; "
+                     "skipping the directional score.")
+
+        line = " ".join(f"{k}={v:.4f}" for k, v in metrics.items()
+                        if isinstance(v, float))
+        self.log(f"==> CLIP metrics [{name}]: {line}")
+        if self.writer:
+            for k, v in metrics.items():
+                if isinstance(v, float):
+                    self.writer.add_scalar(f"test/{k}", v, self.global_step)
+        import json
+        path = os.path.join(save_path, f"{name}_clip_metrics.json")
+        with open(path, "w") as f:
+            json.dump(metrics, f, indent=1)
+        self.log(f"==> wrote {path}")
+        return metrics
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, name=None, full=True):

@@ -110,23 +110,34 @@ class CLIPViewMatcher:
         return out / np.linalg.norm(out, axis=-1, keepdims=True)
 
 
-def clip_score(matcher: CLIPViewMatcher, images_nhwc, prompt: str) -> float:
+def _embed_chunked(matcher: CLIPViewMatcher, images_nhwc, chunk: int):
+    """image_embeds in chunks so full-resolution test frames ([B,H,W,3]
+    floats pre-resize) never materialize on device all at once."""
+    images_nhwc = np.asarray(images_nhwc)
+    outs = [matcher.image_embeds(images_nhwc[i:i + chunk])
+            for i in range(0, len(images_nhwc), chunk)]
+    return np.concatenate(outs, axis=0)
+
+
+def clip_score(matcher: CLIPViewMatcher, images_nhwc, prompt: str,
+               chunk: int = 8) -> float:
     """Mean CLIP text-image cosine similarity over rendered views — the
     paper's Table-1-style editing-quality metric (CustomNeRF reports
     CLIP-score family metrics; the repo itself reproduces none, SURVEY §6).
     Meaningful once real CLIP weights are supplied via --clip_weights."""
-    img = matcher.image_embeds(images_nhwc)            # [B, D]
+    img = _embed_chunked(matcher, images_nhwc, chunk)  # [B, D]
     txt = matcher.text_embeds([prompt])                # [1, D]
     return float(np.mean(img @ txt.T))
 
 
 def clip_directional_score(matcher: CLIPViewMatcher, images_before,
                            images_after, prompt_before: str,
-                           prompt_after: str) -> float:
+                           prompt_after: str, chunk: int = 8) -> float:
     """CLIP directional similarity (Gal et al.): cosine between the image
     edit direction and the text edit direction, averaged over views.  The
     standard quantitative editing metric for text-driven 3D edits."""
-    di = matcher.image_embeds(images_after) - matcher.image_embeds(images_before)
+    di = (_embed_chunked(matcher, images_after, chunk)
+          - _embed_chunked(matcher, images_before, chunk))
     dt = matcher.text_embeds([prompt_after]) - matcher.text_embeds([prompt_before])
     di_n = di / np.maximum(np.linalg.norm(di, axis=-1, keepdims=True), 1e-8)
     dt_n = dt / np.maximum(np.linalg.norm(dt, axis=-1, keepdims=True), 1e-8)

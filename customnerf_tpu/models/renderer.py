@@ -289,6 +289,7 @@ def render_rays_fast(
     apply_fns=None,
     compact_frac: float = 0.0,
     compact_block: int = 16,
+    compact_remat: bool = False,
 ):
     """Occupancy-grid fast path (the reference's ``-O``/``run_cuda`` mode,
     renderer.py:597-718): march only occupied cells, evaluate the field on a
@@ -301,7 +302,14 @@ def render_rays_fast(
     block overflows its budget, even-stride subsampled (with a quadrature
     dt scale) when one does.  Real captures fill ~30% of the slab, so
     frac≈0.5 leaves multiple binomial σ of headroom while skipping most
-    dead slots."""
+    dead slots.
+
+    ``compact_remat`` wraps the compacted eval in ``jax.checkpoint`` so the
+    [NB, G·K, M] one-hot compaction matrices become recomputed, not saved —
+    at editing resolutions (full H·W-ray renders inside a render+VAE+UNet
+    graph) the saved one-hots are multi-GB residuals that stalled the fused
+    editing compile; recomputing them costs two extra small matmuls in the
+    backward.  Numerically identical either way (tested)."""
     from customnerf_tpu.ops.occupancy import march_rays_occupancy
 
     aabb = jnp.asarray(
@@ -333,8 +341,13 @@ def render_rays_fast(
         apply_fn = lambda x, d: field.apply(params, x, d)
 
     if compact_frac and compact_frac > 0.0:
-        sigmas, radiance, dt_mult = _eval_field_compacted(
-            apply_fn, xyz, dirs, valid, compact_frac, compact_block)
+        def _compacted(xyz_, dirs_, valid_):
+            return _eval_field_compacted(
+                apply_fn, xyz_, dirs_, valid_, compact_frac, compact_block)
+
+        if compact_remat:
+            _compacted = jax.checkpoint(_compacted)
+        sigmas, radiance, dt_mult = _compacted(xyz, dirs, valid)
         dt_scale = dt_scale * dt_mult[:, None]
     else:
         sigmas, radiance = apply_fn(xyz, dirs)

@@ -80,3 +80,16 @@ def test_bear_tpu_recipe_flags_parse():
     assert opt.triplane_res == [128, 512]
     assert opt.triplane_channels == [16, 8]
     assert opt.compact_frac == 0.4 and opt.compact_block == 32
+
+
+def test_clip_metrics_flags_parse():
+    """--clip_metrics / --clip_ref_text (test-time CLIP score reporting)."""
+    opt = parse_args([
+        "--workspace", "/tmp/x", "--clip_metrics",
+        "--clip_ref_text", "a photo of a bear",
+        "--text", "a photo of a corgi",
+    ])
+    assert opt.clip_metrics is True
+    assert opt.clip_ref_text == "a photo of a bear"
+    opt2 = parse_args(["--workspace", "/tmp/x"])
+    assert opt2.clip_metrics is False and opt2.clip_ref_text == ""

@@ -156,6 +156,32 @@ def test_cli_accepts_compact_flags():
     assert raised
 
 
+def test_compact_remat_is_exact():
+    """compact_remat=True (editing graphs recompute the one-hot compaction
+    matrices in the backward instead of saving multi-GB residuals) is
+    numerically identical — outputs AND parameter gradients."""
+    field, params, o, d, occ, s = _setup(n_rays=24)
+    key = jax.random.PRNGKey(7)
+    target = jax.random.uniform(jax.random.PRNGKey(11), (24, 3))
+    kw = dict(n_coarse=32, n_keep=16, train=True, perturb=True,
+              compact_frac=0.5, compact_block=8)
+
+    def loss(p, remat):
+        out = render_rays_fast(field, p, o, d, occ, key, s,
+                               compact_remat=remat, **kw)
+        return jnp.mean((out["image"] - target) ** 2), out["image"]
+
+    (l0, img0), g0 = jax.value_and_grad(loss, has_aux=True)(params, False)
+    (l1, img1), g1 = jax.value_and_grad(loss, has_aux=True)(params, True)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_compacted_render_ray_count_not_divisible_by_block():
     """N % compact_block != 0 exercises the edge-replicate ray padding
     inside _eval_field_compacted (zero-padding would NaN the grads — the

@@ -233,6 +233,13 @@ def test_clip_scores(monkeypatch):
     # identical edits → direction degenerates; score of identical images ~0/1
     same = cv.clip_directional_score(m, imgs_a, imgs_a, "a bear", "a corgi")
     assert abs(same) < 1e-3
+    # chunked embedding is exact (trainer --clip_metrics embeds test frames
+    # in chunks of 8 to bound device memory)
+    np.testing.assert_allclose(cv.clip_score(m, imgs_a, "a corgi", chunk=1),
+                               s, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(
+        cv.clip_directional_score(m, imgs_a, imgs_b, "a bear", "a corgi",
+                                  chunk=1), d, rtol=0, atol=1e-4)
 
 
 def test_specify_gradient_injects_cotangent():
