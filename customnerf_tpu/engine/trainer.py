@@ -563,51 +563,65 @@ class Trainer:
     def render_image(self, rays_o, rays_d, perturb=False, bg_color=None,
                      params=None):
         """Full-frame render, chunked over rays to bound memory (the staged
-        path; reference --max_ray_batch, renderer.py:1749-1765)."""
+        path; reference --max_ray_batch, renderer.py:1749-1765).
+
+        The chunk loop runs ON DEVICE (``lax.map`` over chunk rows): one
+        dispatch per FRAME instead of one per chunk — through the 100-250 ms
+        tunnel a 30-chunk eval frame used to pay 30 RTTs of latency, which
+        dominated the bear run's eval/test wall time."""
         params = self.params if params is None else params
         chunk = int(self.opt.max_ray_batch)
         N = rays_o.shape[0]
-        if "render_chunk" not in self._compiled:
+        if "render_frame" not in self._compiled:
             render = self._render_fn()
 
             @partial(jax.jit, static_argnames=("perturb", "use_bg"))
-            def render_chunk(p, occ, o, d, key, bg, perturb=False,
+            def render_frame(p, occ, o_rows, d_rows, keys, bg, perturb=False,
                              use_bg=False):
-                out = render(p, occ, o, d, key, train=False, perturb=perturb,
-                             bg_color=bg if use_bg else None)
-                keep = {k: out[k] for k in
-                        ("image", "depth", "weights_sum") if k in out}
-                if "render_mask" in out:
-                    keep["render_mask"] = out["render_mask"]
-                for side in ("fg", "bg"):
-                    if side in out:
-                        keep[side] = {"image": out[side]["image"],
-                                      "depth": out[side]["depth"],
-                                      "weights_sum": out[side]["weights_sum"]}
-                return keep
+                def body(args):
+                    o, d, key = args
+                    out = render(p, occ, o, d, key, train=False,
+                                 perturb=perturb,
+                                 bg_color=bg if use_bg else None)
+                    keep = {k: out[k] for k in
+                            ("image", "depth", "weights_sum") if k in out}
+                    if "render_mask" in out:
+                        keep["render_mask"] = out["render_mask"]
+                    for side in ("fg", "bg"):
+                        if side in out:
+                            keep[side] = {"image": out[side]["image"],
+                                          "depth": out[side]["depth"],
+                                          "weights_sum": out[side]["weights_sum"]}
+                    return keep
 
-            self._compiled["render_chunk"] = render_chunk
-        render_chunk = self._compiled["render_chunk"]
+                return jax.lax.map(body, (o_rows, d_rows, keys))
 
-        outs = []
+            self._compiled["render_frame"] = render_frame
+        render_frame = self._compiled["render_frame"]
+
         pad = (-N) % chunk
         if pad:
             rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
             rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
         use_bg = bg_color is not None
         bg = jnp.asarray(bg_color, jnp.float32) if use_bg else jnp.zeros((3,))
-        for i in range(0, N + pad, chunk):
-            self.root_key, key = jax.random.split(self.root_key)
-            o_c, d_c = rays_o[i:i + chunk], rays_d[i:i + chunk]
-            if self.mesh is not None:
-                # eval/test rendering is data-parallel too: each chunk's rays
-                # split across the mesh (the reference's DDP eval all_gather
-                # analog, utils_init_nerf.py:709-726 — here XLA gathers)
-                o_c, d_c = shard_batch(self.mesh, (o_c, d_c))
-            outs.append(render_chunk(params, self.occ_state, o_c, d_c, key,
-                                     bg, perturb=perturb, use_bg=use_bg))
-        merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *outs)
-        merged = jax.tree_util.tree_map(lambda x: x[:N], merged)
+        n_chunks = (N + pad) // chunk
+        o_rows = rays_o.reshape(n_chunks, chunk, 3)
+        d_rows = rays_d.reshape(n_chunks, chunk, 3)
+        self.root_key, key = jax.random.split(self.root_key)
+        keys = jax.random.split(key, n_chunks)
+        if self.mesh is not None:
+            # eval/test rendering is data-parallel too: each chunk row's rays
+            # split across the mesh (the reference's DDP eval all_gather
+            # analog, utils_init_nerf.py:709-726 — here XLA gathers)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            o_rows = jax.device_put(o_rows, sh)
+            d_rows = jax.device_put(d_rows, sh)
+        merged = render_frame(params, self.occ_state, o_rows, d_rows, keys,
+                              bg, perturb=perturb, use_bg=use_bg)
+        merged = jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, *x.shape[2:])[:N], merged)
         return merged
 
     # ----------------------------------------------------------------- eval
