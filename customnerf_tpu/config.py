@@ -203,6 +203,11 @@ class Config:
                                  # otherwise fails loudly instead of burning
                                  # 10k iters distilling noise)
     occ_grid_size: int = 128   # occupancy grid resolution (reference: 128)
+    eval_march_candidates: int = 0  # -O eval/test march candidate budget;
+                                 # 0 = reference-parity max_steps (1024).
+                                 # Lower values march eval frames coarser
+                                 # (quality-gate before adopting; training
+                                 # is unaffected)
     steps_per_dispatch: int = 0  # lax.scan K train steps per jit call;
                                  # 0 = auto (8 on TPU, 1 on CPU) — amortizes
                                  # the 100-250 ms tunnel dispatch latency

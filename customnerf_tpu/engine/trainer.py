@@ -302,9 +302,12 @@ class Trainer:
                 # eval renders are deterministic and must not step over thin
                 # surface shells into unsupervised interior points — march at
                 # the reference's inference budget (max_steps candidates ≈
-                # dt 2√3/max_steps, raymarching.cu:345-346 / march_rays)
-                n_coarse = n_total * 2 if train else max(opt.max_steps,
-                                                         n_total * 2)
+                # dt 2√3/max_steps, raymarching.cu:345-346 / march_rays),
+                # or --eval_march_candidates when set (quality-gated
+                # coarser eval march)
+                n_eval = (int(opt.eval_march_candidates)
+                          or max(opt.max_steps, n_total * 2))
+                n_coarse = n_total * 2 if train else max(n_eval, n_total * 2)
                 return render_rays_fast(
                     field, p, o, d, occ, key, s,
                     n_coarse=n_coarse,

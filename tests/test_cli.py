@@ -93,3 +93,10 @@ def test_clip_metrics_flags_parse():
     assert opt.clip_ref_text == "a photo of a bear"
     opt2 = parse_args(["--workspace", "/tmp/x"])
     assert opt2.clip_metrics is False and opt2.clip_ref_text == ""
+
+
+def test_eval_march_candidates_flag():
+    opt = parse_args(["--workspace", "/tmp/x",
+                      "--eval_march_candidates", "256"])
+    assert opt.eval_march_candidates == 256
+    assert parse_args(["--workspace", "/tmp/x"]).eval_march_candidates == 0
