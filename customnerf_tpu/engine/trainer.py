@@ -635,11 +635,25 @@ class Trainer:
 
         strips = []
         psnrs = []
-        for i, batch in enumerate(loader):
-            if not self.opt.val_all_images and i >= 4:
-                break
+
+        # pipeline: keep a few frame renders in flight so the next frame's
+        # dispatch isn't serialized behind this frame's D2H fetch (one
+        # tunnel RTT per frame otherwise)
+        def _rendered_frames():
+            window, inflight = 4, []
+            for i, batch in enumerate(loader):
+                if not self.opt.val_all_images and i >= 4:
+                    break
+                inflight.append(
+                    (i, batch,
+                     self.render_image(batch.rays_o, batch.rays_d)))
+                if len(inflight) > window:
+                    yield inflight.pop(0)
+            yield from inflight
+
+        for i, batch, out_dev in _rendered_frames():
             H, W = batch.H, batch.W
-            out = fetch_tree(self.render_image(batch.rays_o, batch.rays_d))
+            out = fetch_tree(out_dev)
             gt = np.asarray(batch.rgbs).reshape(H, W, 3)
             rgb = np.asarray(out["image"]).reshape(H, W, 3)
             mse = float(np.mean((rgb - gt) ** 2))
@@ -705,19 +719,33 @@ class Trainer:
 
         all_preds = []
         clip_after, clip_before = [], []
-        for i, batch in enumerate(loader):
+        side_by_side = (self.opt.pretrained
+                        and self.params_pretrained is not self.params)
+
+        # pipeline frame dispatches ahead of the per-frame D2H fetch (same
+        # sliding window as evaluate_one_epoch)
+        def _rendered_frames():
+            window, inflight = 4, []
+            for i, batch in enumerate(loader):
+                out_dev = self.render_image(batch.rays_o, batch.rays_d)
+                # side-by-side with the frozen pretrained render
+                # (utils_init_nerf.py:468-472)
+                pt_dev = (self.render_image(batch.rays_o, batch.rays_d,
+                                            params=self.params_pretrained)
+                          if side_by_side else None)
+                inflight.append((i, batch, out_dev, pt_dev))
+                if len(inflight) > window:
+                    yield inflight.pop(0)
+            yield from inflight
+
+        for i, batch, out_dev, pt_dev in _rendered_frames():
             H, W = batch.H, batch.W
-            out = fetch_tree(self.render_image(batch.rays_o, batch.rays_d))
+            out = fetch_tree(out_dev)
             pred = np.asarray(out["image"]).reshape(H, W, 3)
             if self.opt.clip_metrics:
                 clip_after.append(pred)
-            if self.opt.pretrained and self.params_pretrained is not self.params:
-                # side-by-side with the frozen pretrained render
-                # (utils_init_nerf.py:468-472)
-                out_pt = fetch_tree(self.render_image(
-                    batch.rays_o, batch.rays_d,
-                    params=self.params_pretrained))
-                pt = np.asarray(out_pt["image"]).reshape(H, W, 3)
+            if pt_dev is not None:
+                pt = np.asarray(fetch_tree(pt_dev)["image"]).reshape(H, W, 3)
                 if self.opt.clip_metrics:
                     clip_before.append(pt)
                 pred = np.concatenate([pred, pt], axis=1)
