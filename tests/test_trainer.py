@@ -58,6 +58,22 @@ def test_render_image_chunked_matches_unchunked(trained):
     grey = float(np.mean((0.5 - np.asarray(batch.rgbs)) ** 2))
     assert mse < grey
 
+    # multi-chunk on-device loop (lax.map rows + tail padding) must render
+    # the same frame: a chunk that doesn't divide N exercises both
+    opt = trainer.opt
+    old_chunk, old_fns = opt.max_ray_batch, trainer._compiled.pop(
+        "render_frame", None)
+    try:
+        opt.max_ray_batch = 100  # N=4096 → 41 rows of 100 + pad
+        out_multi = trainer.render_image(batch.rays_o, batch.rays_d)
+    finally:
+        opt.max_ray_batch = old_chunk
+        if old_fns is not None:
+            trainer._compiled["render_frame"] = old_fns
+    np.testing.assert_allclose(np.asarray(out_multi["image"]),
+                               np.asarray(out["image"]),
+                               rtol=2e-5, atol=2e-6)
+
 
 def test_checkpoint_roundtrip(trained, tiny_opt):
     trainer, _, batch = trained
