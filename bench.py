@@ -38,10 +38,25 @@ def _rays(n_rays):
     return o, d, target, tmask
 
 
+def _enable_compile_cache():
+    """Persistent compile cache (same dir as main.py): tunnel first-compiles
+    cost minutes and the driver re-runs this bench every round."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/customnerf_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    _enable_compile_cache()
 
     from customnerf_tpu.models.field import FieldConfig, NeRFField
     from customnerf_tpu.models.renderer import (RenderSettings, render_rays,
@@ -52,14 +67,21 @@ def main():
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
-    n_rays = 4096 if on_accel else 128
+    # Headline batch: 16384 rays.  Flagship throughput IMPROVES with batch
+    # (4096 → 223.5k, 8192 → 227.8k, 16384 → 236.1k rays/s — docs/PERF.md
+    # scaling sweep): compaction shrinks everything downstream of the march,
+    # so larger batches amortize fixed costs.  Large-batch training is the
+    # TPU-idiomatic regime; per-ray work is identical to the quality-gated
+    # bear config.  Diagnostics keep the 4096-ray shape comparable with the
+    # round-1/2/3 tables in docs/PERF.md.
+    n_rays = 16384 if on_accel else 128
+    n_rays_diag = 4096 if on_accel else 128
     iters = 3 if on_accel else 1          # dispatches; each scans spd steps
     spd = 8 if on_accel else 2            # steps per dispatch (lax.scan)
     compute = "bfloat16" if on_accel else "float32"
 
-    o, d, target, tmask = _rays(n_rays)
-    o, d = jnp.asarray(o), jnp.asarray(d)
-    target, tmask = jnp.asarray(target), jnp.asarray(tmask)
+    batches = {n: tuple(map(jnp.asarray, _rays(n)))
+               for n in {n_rays, n_rays_diag}}
 
     # Two occupancy workloads:
     #  * occ: 12.8% occupied cells — matched to the TRAINED bear-fixture
@@ -93,9 +115,10 @@ def main():
                                       compute_dtype=compute))
         return field, field.init_params(jax.random.PRNGKey(0))
 
-    def make_scan_step(field, render_fn):
+    def make_scan_step(field, render_fn, batch):
         """One dispatch = lax.scan of spd full train steps (the trainer's
         --steps_per_dispatch path; amortizes tunnel dispatch latency)."""
+        o, d, target, tmask = batch
 
         @jax.jit
         def dispatch(params, opt_state, keys):
@@ -103,7 +126,7 @@ def main():
                 params, opt_state = carry
 
                 def loss_fn(p):
-                    out = render_fn(field, p, key)
+                    out = render_fn(field, p, key, o, d)
                     loss = jnp.mean((out["image"] - target) ** 2)
                     loss += 0.01 * jnp.mean(
                         (out["render_mask"][..., 0] - tmask) ** 2)
@@ -120,8 +143,8 @@ def main():
 
         return dispatch
 
-    def run(field, params, render_fn, tag):
-        step = make_scan_step(field, render_fn)
+    def run(field, params, render_fn, tag, n=n_rays_diag):
+        step = make_scan_step(field, render_fn, batches[n])
         opt_state = tx.init(params)
         p = params
         key = jax.random.PRNGKey(0)
@@ -138,7 +161,7 @@ def main():
             p, opt_state, loss = step(p, opt_state, keys())
         _ = float(loss)
         dt = time.perf_counter() - t0
-        rps = n_rays * iters * spd / dt
+        rps = n * iters * spd / dt
         print(f"[bench] {tag}: {rps:.1f} rays/s "
               f"({dt / (iters * spd) * 1e3:.0f} ms/step, {spd} steps/dispatch)",
               file=sys.stderr)
@@ -150,7 +173,7 @@ def main():
     # n_keep sweep; 32 keep measures faster but fails the gate).  The
     # flagship also enables cross-ray compaction (--compact_frac 0.4,
     # quality-gated on the same full bear run — docs/PERF.md).
-    def fast(field, p, key, n_keep=40, occ_state=None, frac=0.4):
+    def fast(field, p, key, o, d, n_keep=40, occ_state=None, frac=0.4):
         return render_rays_fast(field, p, o, d,
                                 occ_state if occ_state is not None else occ,
                                 key, fast_settings,
@@ -158,7 +181,7 @@ def main():
                                 train=True, perturb=True,
                                 compact_frac=frac, compact_block=32)
 
-    def dense(field, p, key):
+    def dense(field, p, key, o, d):
         return render_rays(field, p, o, d, key, dense_settings,
                            train=True, perturb=True)
 
@@ -169,7 +192,8 @@ def main():
                        channels=(16, 8) if on_accel else 4, bwd="matmul")
     field_tri, params_tri = make_field(tri)
     headline = run(field_tri, params_tri, fast,
-                   "fast(-O) triplane 128+512x(16,8) keep40")
+                   f"fast(-O) triplane 128+512x(16,8) keep40 @{n_rays} rays",
+                   n=n_rays)
 
     # ---- diagnostics ------------------------------------------------------
     def diag(fn, tag):
@@ -178,11 +202,11 @@ def main():
         except Exception as e:
             print(f"[bench] {tag} diagnostic failed: {e}", file=sys.stderr)
 
-    def fast64(f, p, key):
+    def fast64(f, p, key, o, d):
         # historical 64-keep budget on the dense-fill grid, no compaction —
         # keeps the grid diagnostics comparable with the round-1/2 numbers
         # in docs/PERF.md
-        return fast(f, p, key, n_keep=64, occ_state=occ_dense, frac=0.0)
+        return fast(f, p, key, o, d, n_keep=64, occ_state=occ_dense, frac=0.0)
 
     def parity_grid():
         grid = GridSpec(num_levels=16, level_dim=2, base_resolution=16,
@@ -209,12 +233,13 @@ def main():
 
     def no_compact():
         run(field_tri, params_tri,
-            lambda f, p, key: fast(f, p, key, frac=0.0),
+            lambda f, p, key, o, d: fast(f, p, key, o, d, frac=0.0),
             "fast(-O) triplane keep40 realistic-fill, compaction OFF")
 
     def dense_fill():
         run(field_tri, params_tri,
-            lambda f, p, key: fast(f, p, key, occ_state=occ_dense, frac=0.0),
+            lambda f, p, key, o, d: fast(f, p, key, o, d, occ_state=occ_dense,
+                                         frac=0.0),
             "fast(-O) triplane keep40 densefill worst-case")
 
     if on_accel:

@@ -11,10 +11,19 @@ Usage: python scripts/eval_march_ab.py [workspace] [budget ...]
 Reference surface being varied: the CUDA march's max_steps inference
 budget (raymarching.cu:345-346 via nerf/renderer.py:623-626).
 """
+import os
 import sys
 import time
 
+import jax
 import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/customnerf_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from customnerf_tpu.config import parse_args
 from customnerf_tpu.data.base import NeRFDataset
