@@ -71,13 +71,19 @@ def save_checkpoint(
         "global_step": global_step,
         "stats": stats,
     }
+    # One pipelined D2H for the whole tree: device_get issues
+    # copy_to_host_async on every leaf before materializing, so the tunnel
+    # streams the transfers instead of paying one blocking RTT per leaf
+    # (the per-leaf np.asarray in _flatten dominated eval-epoch wall time
+    # on the v5e tunnel — docs/PERF.md "Full-run wall time").
+    params = jax.device_get(params)
     state["model"] = {
         k: torch.from_numpy(np.asarray(v).copy()) for k, v in _flatten(params).items()
     }
     if opt_state is not None:
         leaves, treedef = jax.tree_util.tree_flatten(opt_state)
         state["optimizer"] = {
-            "leaves": [np.asarray(l) for l in leaves],
+            "leaves": [np.asarray(l) for l in jax.device_get(leaves)],
             "treedef": pickle.dumps(treedef),
         }
     if extra:

@@ -700,7 +700,8 @@ class Trainer:
             self.stats["best_result"] = self.stats["results"][-1]
             ckpt_io.save_checkpoint(
                 os.path.join(self.ckpt_path, f"{self.name}.pth"),
-                self.params, self.epoch, self.global_step, self.stats)
+                self._host_state()[0], self.epoch, self.global_step,
+                self.stats)
 
     def evaluate(self, loader, name=None):
         self.evaluate_one_epoch(loader, name)
@@ -828,6 +829,24 @@ class Trainer:
         return metrics
 
     # ----------------------------------------------------------- checkpoint
+    def _host_state(self):
+        """Host copies of (params, opt_state), fetched ONCE per global_step.
+
+        The train loop saves a full checkpoint up to three times per eval
+        interval on IDENTICAL device state (ring save before eval, best save,
+        ring save after eval — the reference's cadence,
+        utils_init_nerf.py:492,501-506,817-833); through the tunnel each
+        fetch costs seconds, so duplicate fetches dominated steady-state
+        epoch wall time (docs/PERF.md "Full-run wall time")."""
+        step = int(self.global_step)
+        cached = getattr(self, "_host_state_cache", None)
+        if cached is None or cached[0] != step:
+            host_params, host_opt = jax.device_get(
+                (self.params, self.opt_state))
+            cached = (step, host_params, host_opt)
+            self._host_state_cache = cached
+        return cached[1], cached[2]
+
     def save_checkpoint(self, name=None, full=True):
         name = name or f"{self.name}_ep{self.epoch:04d}"
         use_orbax = self.opt.ckpt_format == "orbax"
@@ -851,13 +870,14 @@ class Trainer:
                 self.epoch, self.global_step, self.stats,
                 opt_state=self.opt_state if full else None, extra=extra)
             return
+        host_params, host_opt = self._host_state()
         ckpt_io.save_checkpoint(
             os.path.join(self.ckpt_path, file_name),
-            self.params,
+            host_params,
             self.epoch,
             self.global_step,
             self.stats,
-            opt_state=self.opt_state if full else None,
+            opt_state=host_opt if full else None,
             extra=extra,
         )
 

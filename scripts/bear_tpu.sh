@@ -23,15 +23,16 @@ python main.py -O \
   "${TPU_FLAGS[@]}" \
   --ckpt scratch
 
-# phase 2: text-driven edit via LGIE + SDS (compaction off here: the fused
-# editing graph is large — docs/ROADMAP.md perf #6)
+# phase 2: text-driven edit via LGIE + SDS (compaction ON: compact_remat
+# keeps the one-hot matrices out of the fused graph's residuals — compiles
+# in ~2 min and runs +45% faster on chip, docs/PERF.md "Editing +
+# compaction")
 python main.py -O \
   --data_type nerfstudio --data_path "$DATA" --keyword lang_bear \
   --workspace outputs/bear_edit_tpu \
   --iters 3000 --train_resolution_level 7 --eval_resolution_level 4 \
   --bound 2 --train_conf 0.01 --soft_mask \
-  --grid_type triplane --triplane_res 128 512 --triplane_channels 16 8 \
-  --num_steps 40 --upsample_steps 0 \
+  "${TPU_FLAGS[@]}" \
   --pretrained --editing_from outputs/bear_recon_tpu/checkpoints/df_ep0030.pth \
   --text "a corgi in a forest" --text_fg "a corgi" \
   --lambda_sd 0.01 --keep_bg 1000 --cfg 100 \
