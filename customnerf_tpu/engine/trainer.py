@@ -841,11 +841,11 @@ class Trainer:
         step = int(self.global_step)
         cached = getattr(self, "_host_state_cache", None)
         if cached is None or cached[0] != step:
-            host_params, host_opt = jax.device_get(
-                (self.params, self.opt_state))
-            cached = (step, host_params, host_opt)
+            host_params, host_opt, host_occ = jax.device_get(
+                (self.params, self.opt_state, self.occ_state))
+            cached = (step, host_params, host_opt, host_occ)
             self._host_state_cache = cached
-        return cached[1], cached[2]
+        return cached[1], cached[2], cached[3]
 
     def save_checkpoint(self, name=None, full=True):
         name = name or f"{self.name}_ep{self.epoch:04d}"
@@ -857,11 +857,20 @@ class Trainer:
             # never rmtree a directory mid-commit
             self._orbax_saver.wait()
         ckpt_io.prune_ring(self.stats, self.ckpt_path, self.opt.max_keep_ckpt)
+        host_params, host_opt, host_occ = self._host_state()
         extra = None
-        if self.occ_state is not None:
-            # parity with the reference's cuda_ray extras (§5.4)
-            extra = {"mean_density": float(self.occ_state.mean_density),
-                     "mean_count": 0}
+        if host_occ is not None:
+            # parity with the reference's cuda_ray extras (§5.4) — the
+            # reference persists density_grid/density_bitfield as model
+            # BUFFERS (nerf/renderer.py:235-236), so checkpoint-driven
+            # inference (--test, eval scripts, --editing_from's frozen
+            # render) marches the TRAINED occupancy, not a fresh grid
+            # (measured: a fresh grid costs ~3.6 dB on bear eval frames)
+            extra = {"mean_density": float(host_occ.mean_density),
+                     "mean_count": 0,
+                     "density_grid": np.asarray(host_occ.density_grid),
+                     "density_bitfield": np.asarray(host_occ.bitfield),
+                     "iter_density": int(host_occ.iter_density)}
         if use_orbax:
             if not hasattr(self, "_orbax_saver"):
                 self._orbax_saver = ckpt_io.OrbaxSaver()
