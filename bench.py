@@ -359,7 +359,10 @@ def bench_editing():
         comp_rate = n_rep * K / (tick() - t0)
         print(f"[bench] editing fused scan + compaction 0.4: "
               f"{comp_rate:.3f} iters/s", file=sys.stderr)
-        return max(comp_rate, fused_rate)
+        # report the COMPACTED rate — it is the recommended/default editing
+        # config (bear_tpu.sh phase 2); returning max() would mask a
+        # regression in the compacted path behind the uncompacted number
+        return comp_rate
     return fused_rate
 
 

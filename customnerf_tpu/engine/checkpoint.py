@@ -87,37 +87,67 @@ def save_checkpoint(
             "treedef": pickle.dumps(treedef),
         }
     if extra:
+        extra = dict(extra)
+        # the reference registers density_grid/density_bitfield as MODEL
+        # buffers (nerf/renderer.py:235-236), so they live under
+        # state['model'] in its .pth — mirror that layout so reference
+        # tooling (and our own reference-import path) finds them
+        for k in ("density_grid", "density_bitfield"):
+            if extra.get(k) is not None:
+                state["model"][k] = torch.from_numpy(
+                    np.asarray(extra.pop(k)).copy())
         state.update(extra)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     torch.save(state, path)
     return path
 
 
-def load_checkpoint(path: str, opt_state_template=None) -> Tuple[dict, dict]:
+# occupancy-grid keys persisted for cuda_ray parity (SURVEY §5.4): arrays
+# live under model (reference buffer layout), scalars at top level
+_OCC_ARRAY_KEYS = ("density_grid", "density_bitfield")
+_OCC_SCALAR_KEYS = ("mean_count", "mean_density", "iter_density")
+
+
+def load_checkpoint(path: str, opt_state_template=None,
+                    conf_channels: int = 1) -> Tuple[dict, dict]:
     """Returns (params_tree, meta).  meta has epoch/global_step/stats and
     optionally 'opt_state' restored against the template's treedef."""
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if "model" not in ckpt:
         params = _unflatten({k: v.numpy() for k, v in ckpt.items()})
         return params, {}
-    model_keys = set(ckpt["model"].keys())
-    if "pos_en.embeddings" in model_keys:
-        # reference-format checkpoint (torch-ngp/tcnn layout): convert
+    model_sd = dict(ckpt["model"])
+    occ_meta = {}
+    for k in _OCC_ARRAY_KEYS:
+        if k in model_sd:
+            v = model_sd.pop(k)
+            occ_meta[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    for k in _OCC_ARRAY_KEYS + _OCC_SCALAR_KEYS:  # legacy r3 top-level layout
+        if k not in occ_meta and k in ckpt:
+            occ_meta[k] = ckpt[k]
+    if any(k.endswith(".params") for k in model_sd) or \
+            "pos_en.embeddings" in model_sd:
+        # reference-format checkpoint (torch-ngp/tcnn flat-vector layout):
+        # convert (detection is structural — any tcnn `*.params` key —
+        # so RGB_network variant checkpoints route through the shim too,
+        # reference nerf/network_grid.py:13-68)
         from customnerf_tpu.engine.torch_shim import import_reference_checkpoint
-        params = import_reference_checkpoint(path)
+        params = import_reference_checkpoint(path, conf_channels=conf_channels)
         meta = {
             "epoch": ckpt.get("epoch", 0),
             "global_step": ckpt.get("global_step", 0),
             "stats": ckpt.get("stats", {}),
         }
+        meta.update(occ_meta)
         print(f"[INFO] imported reference-format checkpoint {path}")
         return params, meta
-    params = _unflatten({k: np.asarray(v) for k, v in ckpt["model"].items()})
+    params = _unflatten({k: np.asarray(v) for k, v in model_sd.items()})
     meta = {
         "epoch": ckpt.get("epoch", 0),
         "global_step": ckpt.get("global_step", 0),
         "stats": ckpt.get("stats", {}),
     }
+    meta.update(occ_meta)
     if "optimizer" in ckpt and opt_state_template is not None:
         try:
             treedef = pickle.loads(ckpt["optimizer"]["treedef"])
@@ -125,9 +155,6 @@ def load_checkpoint(path: str, opt_state_template=None) -> Tuple[dict, dict]:
             meta["opt_state"] = jax.tree_util.tree_unflatten(treedef, leaves)
         except Exception as e:  # mismatched optimizer config → warn, keep fresh
             print(f"[WARN] failed to restore optimizer state: {e}")
-    for k in ("mean_count", "mean_density"):
-        if k in ckpt:
-            meta[k] = ckpt[k]
     return params, meta
 
 
@@ -212,7 +239,7 @@ def load_checkpoint_orbax(path: str, opt_state_template=None):
             meta_raw["stats_pickle"], dtype=np.uint8)))
         if "stats_pickle" in meta_raw else {},
     }
-    for k in ("mean_count", "mean_density"):
+    for k in _OCC_ARRAY_KEYS + _OCC_SCALAR_KEYS:
         if k in meta_raw:
             meta[k] = meta_raw[k]
     if "optimizer" in state and opt_state_template is not None:

@@ -45,24 +45,32 @@ from customnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
 def fetch_tree(tree):
-    """Pull a whole device pytree to host in ONE transfer.
+    """Pull a whole device pytree to host in ONE transfer per dtype.
 
     Each blocking ``np.asarray(leaf)`` costs a full tunnel round-trip;
     eval/test pull 4-7 arrays per rendered frame, which adds up to tens of
     seconds per bear run.  Ravel-concat the leaves on device (cheap, fuses)
-    and split on host."""
+    and split on host.  Leaves are grouped by dtype and each group concats
+    at its own dtype — no silent float32 cast of integer/bool outputs."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if len(leaves) <= 1:
         return jax.tree_util.tree_map(np.asarray, tree)
-    shapes = [l.shape for l in leaves]
-    sizes = [int(np.prod(s)) for s in shapes]
-    flat = jnp.concatenate(
-        [jnp.ravel(l).astype(jnp.float32) for l in leaves])
-    host = np.asarray(flat)
-    outs, i = [], 0
-    for sh, n in zip(shapes, sizes):
-        outs.append(host[i:i + n].reshape(sh))
-        i += n
+    by_dtype = {}
+    for idx, l in enumerate(leaves):
+        by_dtype.setdefault(jnp.result_type(l), []).append(idx)
+    outs = [None] * len(leaves)
+    for dt, idxs in by_dtype.items():
+        group = [leaves[i] for i in idxs]
+        shapes = [l.shape for l in group]
+        sizes = [int(np.prod(s)) for s in shapes]
+        if len(group) == 1:
+            outs[idxs[0]] = np.asarray(group[0])
+            continue
+        host = np.asarray(jnp.concatenate([jnp.ravel(l) for l in group]))
+        off = 0
+        for idx, sh, n in zip(idxs, shapes, sizes):
+            outs[idx] = host[off:off + n].reshape(sh)
+            off += n
     return jax.tree_util.tree_unflatten(treedef, outs)
 
 
@@ -279,6 +287,10 @@ class Trainer:
             self._compiled["occ_update"] = occ_update
         self.root_key, key = jax.random.split(self.root_key)
         self.occ_state = self._compiled["occ_update"](self.occ_state, params, key)
+        # occ_state changed without a step advance (the epoch loop refreshes
+        # BEFORE stepping) — a save right after must not persist the
+        # pre-refresh grid from the step-keyed cache
+        self._host_state_cache = None
 
     def _render_fn(self):
         """Bound renderer closure: dense two-pass or occupancy fast path;
@@ -314,7 +326,9 @@ class Trainer:
                     n_keep=n_total,
                     train=train, perturb=perturb, bg_color=bg_color,
                     apply_fns=apply_fns(p),
-                    compact_frac=opt.compact_frac,
+                    # -1 = auto: off until _autotune_compaction measures the
+                    # slab fill on the warmed-up grid and rewrites the flag
+                    compact_frac=max(opt.compact_frac, 0.0),
                     compact_block=opt.compact_block,
                     # editing graphs (render+VAE+UNet, full-image rays)
                     # cannot afford the saved one-hot residuals — remat the
@@ -487,7 +501,64 @@ class Trainer:
             self._orbax_saver.wait()  # don't exit with a half-flushed ckpt
         self.log(f"[INFO] training takes {(time.time() - start_t) / 60:.4f} minutes.")
 
+    # -------------------------------------------- compaction auto-tune
+    def measure_slab_fill(self, batch):
+        """Mean fraction of live slots in the fast path's [N, n_keep] slab
+        for one batch — the quantity compaction exploits (docs/PERF.md
+        measured 31.8% on the trained bear grid)."""
+        from customnerf_tpu.ops.occupancy import march_rays_occupancy
+        from customnerf_tpu.ops.ray import near_far_from_aabb
+        opt = self.opt
+        n_total = max(opt.num_steps + opt.upsample_steps, 2)
+
+        if "fill_probe" not in self._compiled:
+            @jax.jit
+            def probe(occ, o, d, key):
+                aabb = jnp.asarray([-opt.bound] * 3 + [opt.bound] * 3,
+                                   jnp.float32)
+                nears, fars = near_far_from_aabb(o, d, aabb, opt.min_near)
+                miss = nears >= fars
+                _, valid, _ = march_rays_occupancy(
+                    occ, o, d, jnp.where(miss, 0.0, nears),
+                    jnp.where(miss, 1.0, fars), key, opt.bound,
+                    n_coarse=n_total * 2, n_keep=n_total, perturb=True)
+                return (valid & ~miss[:, None]).mean()
+            self._compiled["fill_probe"] = probe
+
+        self.root_key, key = jax.random.split(self.root_key)
+        return float(self._compiled["fill_probe"](
+            self.occ_state, jnp.asarray(batch.rays_o),
+            jnp.asarray(batch.rays_d), key))
+
+    def _autotune_compaction(self, loader):
+        """``--compact_frac -1``: size the compaction budget from the
+        MEASURED slab fill once the occupancy grid is warmed up — the
+        static-shape analog of the reference's mean_count-adaptive march
+        buffer (raymarching/raymarching.py:196-233).  One-shot: re-jits the
+        train/render programs once, then leaves frac fixed."""
+        from customnerf_tpu.ops.occupancy import WARMUP_UPDATES
+        if self.occ_state is None:
+            self.opt.compact_frac = 0.0
+            return
+        if int(jax.device_get(self.occ_state.iter_density)) <= WARMUP_UPDATES:
+            return  # grid still everywhere-occupied; keep compaction off
+        batch = loader.item(0) if hasattr(loader, "item") else next(iter(loader))
+        fill = self.measure_slab_fill(batch)
+        # 1.3× headroom over the mean: blocks above the mean fall back to
+        # the exactness-preserving even-stride subsample (quality-gated at
+        # the flagship's 0.4/0.32 ≈ 1.25 margin).  Dense slabs (>60%) gain
+        # nothing from pack/unpack matmuls — disable instead.
+        frac = 0.0 if fill > 0.6 else float(min(1.0, max(0.05, fill * 1.3)))
+        self.log(f"[INFO] compaction auto-tune: measured slab fill "
+                 f"{fill:.3f} → --compact_frac {frac:.2f}")
+        self.opt.compact_frac = frac
+        for k in ("pretrain", "multi", "render_frame", "editing",
+                  "editing_many", "fill_probe"):
+            self._compiled.pop(k, None)
+
     def train_one_epoch(self, loader):
+        if self.opt.cuda_ray and self.opt.compact_frac == -1:
+            self._autotune_compaction(loader)
         lr_now = float(self.lr_fn(self.global_step))
         self.log(f"==> Start Training {self.workspace} Epoch {self.epoch}, "
                  f"lr={lr_now:.6f} ...")
@@ -698,10 +769,13 @@ class Trainer:
             self.log(f"[INFO] New best result: {best} --> "
                      f"{self.stats['results'][-1]}")
             self.stats["best_result"] = self.stats["results"][-1]
+            host_params, _, host_occ = self._host_state()
+            # the best checkpoint is the one --test points at — it must
+            # carry the occupancy grid too (ADVICE r3 medium)
             ckpt_io.save_checkpoint(
                 os.path.join(self.ckpt_path, f"{self.name}.pth"),
-                self._host_state()[0], self.epoch, self.global_step,
-                self.stats)
+                host_params, self.epoch, self.global_step,
+                self.stats, extra=self._occ_extra(host_occ))
 
     def evaluate(self, loader, name=None):
         self.evaluate_one_epoch(loader, name)
@@ -847,6 +921,22 @@ class Trainer:
             self._host_state_cache = cached
         return cached[1], cached[2], cached[3]
 
+    @staticmethod
+    def _occ_extra(host_occ):
+        """Checkpoint extras for the occupancy state (reference cuda_ray
+        parity, §5.4) — the reference persists density_grid/density_bitfield
+        as model BUFFERS (nerf/renderer.py:235-236), so checkpoint-driven
+        inference (--test, eval scripts, --editing_from's frozen render)
+        marches the TRAINED occupancy, not a fresh grid (measured: a fresh
+        grid costs ~3.6 dB on bear eval frames)."""
+        if host_occ is None:
+            return None
+        return {"mean_density": float(host_occ.mean_density),
+                "mean_count": 0,
+                "density_grid": np.asarray(host_occ.density_grid),
+                "density_bitfield": np.asarray(host_occ.bitfield),
+                "iter_density": int(host_occ.iter_density)}
+
     def save_checkpoint(self, name=None, full=True):
         name = name or f"{self.name}_ep{self.epoch:04d}"
         use_orbax = self.opt.ckpt_format == "orbax"
@@ -857,21 +947,13 @@ class Trainer:
             # never rmtree a directory mid-commit
             self._orbax_saver.wait()
         ckpt_io.prune_ring(self.stats, self.ckpt_path, self.opt.max_keep_ckpt)
-        host_params, host_opt, host_occ = self._host_state()
-        extra = None
-        if host_occ is not None:
-            # parity with the reference's cuda_ray extras (§5.4) — the
-            # reference persists density_grid/density_bitfield as model
-            # BUFFERS (nerf/renderer.py:235-236), so checkpoint-driven
-            # inference (--test, eval scripts, --editing_from's frozen
-            # render) marches the TRAINED occupancy, not a fresh grid
-            # (measured: a fresh grid costs ~3.6 dB on bear eval frames)
-            extra = {"mean_density": float(host_occ.mean_density),
-                     "mean_count": 0,
-                     "density_grid": np.asarray(host_occ.density_grid),
-                     "density_bitfield": np.asarray(host_occ.bitfield),
-                     "iter_density": int(host_occ.iter_density)}
         if use_orbax:
+            # the async saver is handed the DEVICE-side params/opt_state —
+            # only the occ extras need a host fetch here (a full _host_state
+            # pull would be a wasted blocking D2H of the whole state)
+            host_occ = (jax.device_get(self.occ_state)
+                        if self.occ_state is not None else None)
+            extra = self._occ_extra(host_occ)
             if not hasattr(self, "_orbax_saver"):
                 self._orbax_saver = ckpt_io.OrbaxSaver()
             self._orbax_saver.save(
@@ -879,7 +961,8 @@ class Trainer:
                 self.epoch, self.global_step, self.stats,
                 opt_state=self.opt_state if full else None, extra=extra)
             return
-        host_params, host_opt = self._host_state()
+        host_params, host_opt, host_occ = self._host_state()
+        extra = self._occ_extra(host_occ)
         ckpt_io.save_checkpoint(
             os.path.join(self.ckpt_path, file_name),
             host_params,
@@ -900,9 +983,17 @@ class Trainer:
             params, meta = ckpt_io.load_checkpoint_orbax(str(path),
                                                          self.opt_state)
         else:
-            params, meta = ckpt_io.load_checkpoint(str(path), self.opt_state)
+            params, meta = ckpt_io.load_checkpoint(
+                str(path), self.opt_state,
+                conf_channels=2 if self.opt.keyword2 is not None else 1)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._host_state_cache = None  # device state replaced → stale cache
         self.log("[INFO] loaded model.")
+        # occupancy grid is model state in the reference (buffers restored by
+        # load_state_dict, utils_init_nerf.py:854-870) → restore it even for
+        # model_only loads (--editing_from, latest_model)
+        if meta:
+            self._restore_occ_state(meta)
         if model_only or not meta:
             return
         self.epoch = meta.get("epoch", 0)
@@ -913,6 +1004,35 @@ class Trainer:
             self.opt_state = meta["opt_state"]
             self.log("[INFO] loaded optimizer.")
         self.log(f"[INFO] load at epoch {self.epoch}, global step {self.global_step}")
+
+    def _restore_occ_state(self, meta):
+        """Rebuild self.occ_state from checkpoint meta so resumed/--test/
+        --editing_from runs march the TRAINED occupancy grid (reference:
+        density_grid/density_bitfield buffers via load_state_dict,
+        nerf/utils_init_nerf.py:854-870)."""
+        if not self.opt.cuda_ray or meta.get("density_grid") is None:
+            return
+        from customnerf_tpu.ops.occupancy import OccupancyState, packbits
+        grid = jnp.asarray(np.asarray(meta["density_grid"]), jnp.float32)
+        g = self.opt.occ_grid_size
+        expect = (self.opt.cascade, g ** 3)
+        if tuple(grid.shape) != expect:
+            self.log(f"[WARN] checkpoint density_grid shape "
+                     f"{tuple(grid.shape)} != configured {expect}; "
+                     f"keeping the fresh grid.")
+            return
+        mean_density = jnp.float32(float(meta.get("mean_density", 0.0)))
+        iter_density = jnp.int32(int(meta.get("iter_density", 16)))
+        bitfield = meta.get("density_bitfield")
+        if bitfield is not None:
+            bitfield = jnp.asarray(np.asarray(bitfield), jnp.uint8)
+        else:  # reference ckpts always carry it, but re-pack if absent
+            bitfield = packbits(grid, jnp.minimum(mean_density,
+                                                  self.opt.density_thresh))
+        self.occ_state = OccupancyState(
+            density_grid=grid, bitfield=bitfield, mean_density=mean_density,
+            iter_density=iter_density, grid_size=g)
+        self.log("[INFO] restored occupancy grid from checkpoint.")
 
 
 def max_epochs_for(opt, loader_len: int) -> int:

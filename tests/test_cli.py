@@ -100,3 +100,21 @@ def test_eval_march_candidates_flag():
                       "--eval_march_candidates", "256"])
     assert opt.eval_march_candidates == 256
     assert parse_args(["--workspace", "/tmp/x"]).eval_march_candidates == 0
+
+
+def test_inert_flags_warn_loudly(capsys):
+    """Accepted-but-unwired parity flags must warn when set to a non-default
+    value, and stay silent at defaults (VERDICT r3 weak #7, SURVEY §5.6)."""
+    parse_args(["--workspace", "/tmp/x"])
+    assert "NOT wired" not in capsys.readouterr().out
+
+    parse_args(["--workspace", "/tmp/x", "--save_vedio",
+                "--batch_size", "4"])
+    out = capsys.readouterr().out
+    assert "--save_vedio" in out and "NOT wired" in out
+    assert "--batch_size" in out
+
+    # wired flags never trip the warning
+    parse_args(["--workspace", "/tmp/x", "--inter_pose",
+                "--dont_inter_test", "--keyword2", "k2"])
+    assert "NOT wired" not in capsys.readouterr().out
