@@ -52,7 +52,18 @@ def _unpack_tcnn(flat: np.ndarray, dims: List[int]) -> List[np.ndarray]:
 
 
 def import_reference_checkpoint(path: str, conf_channels: int = 1) -> Dict:
-    """Reference .pth → our flax param tree (standard fused-head config)."""
+    """Reference .pth → our flax param tree.
+
+    Handles the fused rgb head (``rgb_network.params``,
+    network_grid.py:118-128) AND the ``RGB_network`` split-head variants
+    (``--detach_mask_from_field`` / ``--mask_no_dir``,
+    network_grid.py:13-68), whose checkpoints carry
+    ``rgb_network.rgb_network.params`` + ``rgb_network.conf_network.params``.
+    The conf net's input width (91 = dir-embed+feature vs 64 = feature-only
+    under mask_no_dir) is inferred from the flat vector's size;
+    ``conf_channels`` (1, or 2 with keyword2) cannot be inferred — tcnn pads
+    outputs to 16 — so the caller passes it.
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -64,25 +75,43 @@ def import_reference_checkpoint(path: str, conf_channels: int = 1) -> Dict:
 
     feat = _unpack_tcnn(sd["network.params"], [32, 64, 64, 64])
     dens = _unpack_tcnn(sd["density_network.params"], [64, 64, 1])
-    rgb = _unpack_tcnn(sd["rgb_network.params"],
-                       [27 + 64, 64, 3 + conf_channels])
 
     def k(w):
         return {"kernel": jnp.asarray(w)}
 
-    return {"params": {
+    params = {
         "grid_table": jnp.asarray(table),
         "feature_net": {"hidden_0": k(feat[0]), "hidden_1": k(feat[1]),
                         "out": k(feat[2])},
         "density_net": {"hidden_0": k(dens[0]), "out": k(dens[1])},
-        "rgb_net": {"hidden_0": k(rgb[0]), "out": k(rgb[1])},
-    }}
+    }
+    if "rgb_network.params" in sd:
+        rgb = _unpack_tcnn(sd["rgb_network.params"],
+                           [27 + 64, 64, 3 + conf_channels])
+        params["rgb_net"] = {"hidden_0": k(rgb[0]), "out": k(rgb[1])}
+    elif "rgb_network.rgb_network.params" in sd:
+        rgb = _unpack_tcnn(sd["rgb_network.rgb_network.params"],
+                           [27 + 64, 64, 3])
+        conf_flat = sd["rgb_network.conf_network.params"]
+        # size = 64·pad16(in) + pad16(out)·64 → 7168 for in=91, 5120 for 64
+        conf_in = 27 + 64 if conf_flat.size == 64 * _pad16(27 + 64) + \
+            16 * 64 else 64
+        conf = _unpack_tcnn(conf_flat, [conf_in, 64, conf_channels])
+        params["rgb_net"] = {"hidden_0": k(rgb[0]), "out": k(rgb[1])}
+        params["conf_net"] = {"hidden_0": k(conf[0]), "out": k(conf[1])}
+    else:
+        raise ValueError(
+            f"unrecognized reference rgb head layout in {path}: "
+            f"{sorted(kk for kk in sd if 'rgb' in kk)}")
+    return {"params": params}
 
 
 def export_reference_checkpoint(params, path: str, epoch: int = 0,
                                 global_step: int = 0):
     """Our params → a reference-shaped .pth (tcnn flat packing), so
-    reference tooling can consume checkpoints trained here."""
+    reference tooling can consume checkpoints trained here.  Split-head
+    trees (conf_net present) export the RGB_network layout
+    (network_grid.py:13-68)."""
     import torch
 
     p = params["params"]
@@ -108,23 +137,36 @@ def export_reference_checkpoint(params, path: str, epoch: int = 0,
         (p["density_net"]["out"]["kernel"], (64, 1, True)),
     ])
     out_rgb = np.asarray(p["rgb_net"]["out"]["kernel"]).shape[-1]
+    rgb_in = np.asarray(p["rgb_net"]["hidden_0"]["kernel"]).shape[0]
     rgb = pack([
-        (p["rgb_net"]["hidden_0"]["kernel"], (91, 64, False)),
+        (p["rgb_net"]["hidden_0"]["kernel"], (rgb_in, 64, False)),
         (p["rgb_net"]["out"]["kernel"], (64, out_rgb, True)),
     ])
+
+    model = {
+        "pos_en.embeddings": torch.from_numpy(
+            np.asarray(p["grid_table"], np.float32)),
+        "network.params": torch.from_numpy(feat),
+        "density_network.params": torch.from_numpy(dens),
+    }
+    if "conf_net" in p:
+        conf_in = np.asarray(p["conf_net"]["hidden_0"]["kernel"]).shape[0]
+        conf_out = np.asarray(p["conf_net"]["out"]["kernel"]).shape[-1]
+        conf = pack([
+            (p["conf_net"]["hidden_0"]["kernel"], (conf_in, 64, False)),
+            (p["conf_net"]["out"]["kernel"], (64, conf_out, True)),
+        ])
+        model["rgb_network.rgb_network.params"] = torch.from_numpy(rgb)
+        model["rgb_network.conf_network.params"] = torch.from_numpy(conf)
+    else:
+        model["rgb_network.params"] = torch.from_numpy(rgb)
 
     state = {
         "epoch": epoch,
         "global_step": global_step,
         "stats": {"loss": [], "valid_loss": [], "results": [],
                   "checkpoints": [], "best_result": None},
-        "model": {
-            "pos_en.embeddings": torch.from_numpy(
-                np.asarray(p["grid_table"], np.float32)),
-            "network.params": torch.from_numpy(feat),
-            "density_network.params": torch.from_numpy(dens),
-            "rgb_network.params": torch.from_numpy(rgb),
-        },
+        "model": model,
     }
     torch.save(state, path)
     return path
