@@ -64,19 +64,25 @@ def prepare_text_embeddings(trainer):
                                                seed=opt.seed)
 
 
-def _get_pt(trainer, batch, bg_color):
+def _get_pt(trainer, batch, bg_color, params=None, cache_key=None):
     """Frozen-model render cache (utils_init_nerf.py:243-265).  Cached on
     device; computed once per image path, with the bg_color of the first
     step that touches the image filled into the FULL frozen image exactly
     as the reference threads bg_color into the frozen render
     (utils_init_nerf.py:245) — the fg/bg composites stay unfilled
-    (docs/PARITY.md deviation 1), matching the trainable render."""
-    if batch.img_path in trainer.pt_dict:
-        return trainer.pt_dict[batch.img_path]
+    (docs/PARITY.md deviation 1), matching the trainable render.
+
+    ``params``/``cache_key`` support multi-scene editing: each scene's
+    frozen PRETRAINED field renders its own keep_bg target, keyed by
+    (scene, img_path) so scenes never share cache entries."""
+    cache_key = cache_key if cache_key is not None else batch.img_path
+    if cache_key in trainer.pt_dict:
+        return trainer.pt_dict[cache_key]
 
     out = trainer.render_image(batch.rays_o, batch.rays_d, perturb=True,
                                bg_color=bg_color,
-                               params=trainer.params_pretrained)
+                               params=(params if params is not None
+                                       else trainer.params_pretrained))
     H, W = batch.H, batch.W
     pt_rgb = out["image"].reshape(H, W, 3)
     pt_rgb_bg = out["bg"]["image"].reshape(H, W, 3)
@@ -90,16 +96,37 @@ def _get_pt(trainer, batch, bg_color):
 
     entry = dict(pt_rgb_bg=pt_rgb_bg, pt_rgb_fg=pt_rgb_fg, pt_mask=pt_mask,
                  pt_depth_fg=pt_depth_fg, match_probs=match_probs)
-    trainer.pt_dict[batch.img_path] = entry
+    trainer.pt_dict[cache_key] = entry
     return entry
 
 
-def _select_text(trainer, match_probs):
-    """clip_view argmax prompt selection (utils_init_nerf.py:267-280)."""
+def prepare_scene_prompts(trainer, text: str, text_fg: str):
+    """Embed one scene's prompt pair for multi-scene editing (N scenes × M
+    prompts, BASELINE config 5) — same per-view expansion as
+    :func:`prepare_text_embeddings` under --clip_view.  Returns a dict
+    usable as a ``scenes[i]`` entry of :func:`editing_step_scenes`."""
+    opt, guidance = trainer.opt, trainer.guidance
+
+    def embed(input_text):
+        if opt.clip_view:
+            return [guidance.get_text_embeds([f"{input_text}, {d} view"],
+                                             [opt.negative])
+                    for d in VIEW_NAMES]
+        return guidance.get_text_embeds([input_text], [opt.negative])
+
+    return {"text_z": embed(text), "text_z_fg": embed(text_fg)}
+
+
+def _select_text(trainer, match_probs, text_z=None, text_z_fg=None):
+    """clip_view argmax prompt selection (utils_init_nerf.py:267-280).
+    ``text_z``/``text_z_fg`` override the trainer-level prompt set (per-scene
+    prompts in multi-scene editing)."""
+    text_z = text_z if text_z is not None else trainer.text_z
+    text_z_fg = text_z_fg if text_z_fg is not None else trainer.text_z_fg
     if trainer.opt.clip_view and match_probs is not None:
         sel = int(np.argmax(np.asarray(match_probs)))
-        return trainer.text_z[sel], trainer.text_z_fg[sel]
-    return trainer.text_z, trainer.text_z_fg
+        return text_z[sel], text_z_fg[sel]
+    return text_z, text_z_fg
 
 
 def _build_editing_step(trainer):
@@ -526,9 +553,13 @@ def _build_editing_step_scenes(trainer):
 
     cache = {}
 
-    def get_programs(H, W):
-        if (H, W) in cache:
-            return cache[(H, W)]
+    def get_programs(H, W, occ_batched=False):
+        """occ_batched: per-scene occupancy states stacked on the scene axis
+        (each scene marches ITS trained grid) vs one shared state."""
+        ckey = (H, W, occ_batched)
+        if ckey in cache:
+            return cache[ckey]
+        occ_ax = 0 if occ_batched else None
 
         def one_a(params, vae_params, occ, rays_o, rays_d, bg_color, use_fg,
                   key):
@@ -538,7 +569,7 @@ def _build_editing_step_scenes(trainer):
             return latents
 
         prog_a = jax.jit(jax.vmap(one_a,
-                                  in_axes=(0, None, None, 0, 0, 0, 0, 0)))
+                                  in_axes=(0, None, occ_ax, 0, 0, 0, 0, 0)))
 
         def one_c(params, opt_state, vae_params, occ, rays_o, rays_d,
                   bg_color, pt_rgb_bg, cotangent, use_fg, key):
@@ -563,16 +594,18 @@ def _build_editing_step_scenes(trainer):
             return optax.apply_updates(params, updates), opt_state, loss, aux
 
         prog_c = jax.jit(jax.vmap(one_c,
-                                  in_axes=(0, 0, None, None, 0, 0, 0, 0, 0,
+                                  in_axes=(0, 0, None, occ_ax, 0, 0, 0, 0, 0,
                                            0, 0)))
-        cache[(H, W)] = (prog_a, prog_b, prog_c)
-        return cache[(H, W)]
+        cache[ckey] = (prog_a, prog_b, prog_c)
+        return cache[ckey]
 
     return get_programs  # (kept signature: returns (prog_a, prog_b, prog_c))
 
 
-def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
-    """One batched multi-scene LGIE editing step (BASELINE config 5).
+def editing_step_scenes(trainer, batches, params_s, opt_state_s, key,
+                        scenes=None, occ_s=None):
+    """One batched multi-scene LGIE editing step (BASELINE config 5:
+    N scenes × M prompts).
 
     Args:
       batches: list of S RayBatch (one per scene/view).
@@ -582,10 +615,16 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
         over ``data``.  The SD UNet/VAE stay replicated and serve all scenes
         in one batched ε-prediction.
       key: per-step key; split per scene (bg color, gate, timestep).
+      scenes: optional list of S per-scene dicts, each with any of
+        ``params_pretrained`` (that scene's frozen field for the keep_bg
+        target), ``text_z`` / ``text_z_fg`` (that scene's prompt embeddings,
+        see :func:`prepare_scene_prompts`).  Missing entries fall back to
+        the trainer-level pretrained model / prompt set.
+      occ_s: optional per-scene occupancy states stacked with
+        :func:`stack_trees` — each scene marches ITS trained grid; None
+        shares ``trainer.occ_state``.
 
-    Returns (params_s, opt_state_s, losses [S]).  Scenes here share the
-    trainer's frozen pretrained model for the keep_bg target (a full
-    multi-scene driver would stack per-scene pretrained params the same way).
+    Returns (params_s, opt_state_s, losses [S]).
     """
     opt = trainer.opt
     if not hasattr(trainer, "text_z"):
@@ -595,6 +634,8 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
     get_programs = trainer._compiled["editing_scenes"]
 
     S = len(batches)
+    scenes = scenes if scenes is not None else [{}] * S
+    assert len(scenes) == S, (len(scenes), S)
     # image shape comes from the batch — the bear capture is 400×300, so a
     # sqrt-derived square here would scramble every non-square view
     H, W = int(batches[0].H), int(batches[0].W)
@@ -602,7 +643,7 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
         "multi-scene editing batches must share an image shape"
     assert H * W == int(batches[0].rgbs.reshape(-1, 3).shape[0]), \
         f"H·W={H * W} != ray count {batches[0].rgbs.reshape(-1, 3).shape[0]}"
-    prog_a, prog_b, prog_c = get_programs(H, W)
+    prog_a, prog_b, prog_c = get_programs(H, W, occ_batched=occ_s is not None)
 
     rays_o, rays_d, bgs, pts, texts, use_fgs, ts, keys = ([] for _ in range(8))
     for i, batch in enumerate(batches):
@@ -613,8 +654,13 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
             bg = jnp.ones((3,))
         else:
             bg = jnp.zeros((3,))
-        pt = _get_pt(trainer, batch, bg if opt.random_bg_c else None)
-        text_z, text_z_fg = _select_text(trainer, pt["match_probs"])
+        scene = scenes[i]
+        pt = _get_pt(trainer, batch, bg if opt.random_bg_c else None,
+                     params=scene.get("params_pretrained"),
+                     cache_key=(i, batch.img_path))
+        text_z, text_z_fg = _select_text(trainer, pt["match_probs"],
+                                         text_z=scene.get("text_z"),
+                                         text_z_fg=scene.get("text_z_fg"))
         t_ratio = 1.0
         if opt.l_only or (not opt.g_only
                           and trainer._np_rng.random() >= opt.global_ratio):
@@ -648,6 +694,8 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
         rep = NamedSharding(mesh, P())
         params_s = jax.device_put(params_s, sh_scene)
         opt_state_s = jax.device_put(opt_state_s, sh_scene)
+        if occ_s is not None:
+            occ_s = jax.device_put(occ_s, sh_scene)
         if data_ax is not None:
             # edge-pad the ray axis so the data shard divides evenly (zero
             # rays would NaN the gradients — see editing_step)
@@ -665,7 +713,7 @@ def editing_step_scenes(trainer, batches, params_s, opt_state_s, key):
         guid_vae = trainer.guidance.vae_params
         guid_unet = trainer.guidance.unet_params
 
-    occ = trainer.occ_state
+    occ = occ_s if occ_s is not None else trainer.occ_state
     latents = prog_a(params_s, guid_vae, occ, rays_o, rays_d, bgs, use_fgs,
                      keys)
     cotangent, loss_sds = prog_b(guid_unet, latents, texts, ts, keys)

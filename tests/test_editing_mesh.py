@@ -249,3 +249,57 @@ def test_editing_step_with_cross_ray_compaction(tmp_path, monkeypatch):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         trainer.params, p_before)
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
+def test_multi_scene_per_scene_pretrained_prompts_and_occ(tmp_path,
+                                                          monkeypatch):
+    """N scenes × M prompts completeness (BASELINE config 5 / VERDICT r3
+    #10): each scene edits against ITS OWN frozen pretrained field, ITS OWN
+    prompt embeddings, and ITS OWN occupancy grid — nothing is silently
+    shared across scenes."""
+    import customnerf_tpu.engine.editing as ed
+
+    _patched(monkeypatch)
+    trainer = _make_trainer(str(tmp_path / "ps"),
+                            mesh_shape="scene:2,data:4", cuda_ray=True)
+    loader = NeRFDataset(trainer.opt, type="train").dataloader()
+    batches = [loader.item(0), loader.item(1)]
+
+    # scene 1 gets perturbed pretrained params and a different prompt pair
+    pre0 = trainer.params_pretrained
+    pre1 = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(9),
+                                               x.shape, x.dtype), pre0)
+    scenes = [
+        {"params_pretrained": pre0},
+        {"params_pretrained": pre1,
+         **ed.prepare_scene_prompts(trainer, "a tiger in snow", "a tiger")},
+    ]
+    # per-scene occupancy: scene 1's grid is everywhere-occupied, scene 0's
+    # comes from the trainer init
+    from customnerf_tpu.ops.occupancy import state_from_grid
+    occ0 = trainer.occ_state
+    dense = np.full(occ0.density_grid.shape, 100.0, np.float32)
+    occ1 = state_from_grid(dense, 1.0, trainer.opt.density_thresh,
+                           grid_size=occ0.grid_size)
+    occ_s = ed.stack_trees([occ0, occ1])
+
+    params_s = ed.stack_trees([trainer.params, trainer.params])
+    opt_state_s = ed.stack_trees([trainer.opt_state, trainer.opt_state])
+    trainer.global_step = 1
+    p1, _, losses, aux = ed.editing_step_scenes(
+        trainer, batches, params_s, opt_state_s, jax.random.PRNGKey(3),
+        scenes=scenes, occ_s=occ_s)
+    assert np.isfinite(np.asarray(losses)).all() and losses.shape == (2,)
+    # the pt cache holds per-scene entries (keyed by (scene, img_path))
+    assert any(isinstance(k, tuple) and k[0] == 0 for k in trainer.pt_dict)
+    assert any(isinstance(k, tuple) and k[0] == 1 for k in trainer.pt_dict)
+    # per-scene keep_bg targets differ (different pretrained fields)
+    pt_keys = sorted(k for k in trainer.pt_dict if isinstance(k, tuple))
+    bg0 = np.asarray(trainer.pt_dict[pt_keys[0]]["pt_rgb_bg"])
+    bg1 = np.asarray(trainer.pt_dict[pt_keys[-1]]["pt_rgb_bg"])
+    if pt_keys[0][1] == pt_keys[-1][1]:  # same view → must still differ
+        assert np.abs(bg0 - bg1).max() > 1e-4
+    # both scenes' params moved and diverged
+    table = np.asarray(p1["params"]["grid_table"])
+    assert np.abs(table[0] - table[1]).max() > 0.0
