@@ -185,6 +185,13 @@ class Config:
                                    # measures 25.27 dB on the bear fixture vs
                                    # 25.38 for ×16 — docs/PERF.md)
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
+    triplane_fwd_bf16: bool = False  # gather bf16 packed rows.  Halves
+                                   # packed-table bytes; measured NEUTRAL at
+                                   # the flagship (the 19 MB f32 fine table
+                                   # already sits in the fast gather regime —
+                                   # cliff at ~16-33 MB, docs/PERF.md) — use
+                                   # for configs whose packed tables exceed
+                                   # the cliff (e.g. R≥1024 planes)
     compact_frac: float = 0.0      # >0: cross-ray active-sample compaction
                                    # on the -O fast path — the field runs on
                                    # ~frac of the [N, n_keep] slab, packed

@@ -89,8 +89,9 @@ def build_encoder_spec(opt):
             resolutions=tuple(int(r) for r in opt.triplane_res),
             channels=tuple(chans),
             bwd=opt.triplane_bwd,
-            # fwd_bf16 measured end-to-end neutral (the per-eval cast pass
-            # cancels the −16% gather win, docs/PERF.md) — stays opt-in
+            # measured neutral at the flagship (table already under the
+            # gather cliff, docs/PERF.md) — opt-in for R≥1024 plane configs
+            fwd_bf16=bool(getattr(opt, "triplane_fwd_bf16", False)),
         )
     return GridSpec(
         input_dim=3,

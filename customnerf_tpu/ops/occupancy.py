@@ -156,9 +156,13 @@ def occupancy_lookup(state: OccupancyState, xyz, bound: float):
 
     Reads the packed BITFIELD (8 cells/byte, the reference's
     ``density_bitfield`` design, raymarching.cu:268-289) rather than the f32
-    grid: the byte table is 64× smaller (256 KB/cascade at 128³), and TPU
-    gathers from small tables run ~2.5× faster per row (docs/PERF.md) — the
-    march does one gather row per candidate, so this is the hot lookup."""
+    grid, and gathers it as WIDE rows: the TPU gather unit is row-issue
+    bound, but 1-byte rows still cost ~11 ns/row while 128-byte rows from a
+    small table cost ~5.4 ns (scripts/micro_bitrow.py, docs/PERF.md) — so
+    the lookup views the byte table as [n/128, 32]-i32 rows (a free
+    reshape+bitcast of the same bits) and selects the word in-register with
+    an iota compare: 11.25 → 7.0 ns per candidate, bit-identical results.
+    The march does one lookup per candidate, so this is the hot path."""
     cascade = state.density_grid.shape[0]
     g = state.grid_size
     ax = jnp.max(jnp.abs(xyz), axis=-1)
@@ -175,8 +179,23 @@ def occupancy_lookup(state: OccupancyState, xyz, bound: float):
     cell = jnp.clip(scaled.astype(jnp.int32), 0, g - 1)
     flat = cell[..., 0] * g * g + cell[..., 1] * g + cell[..., 2]
     bit = mip * (g ** 3) + flat
-    byte = state.bitfield[bit // 8]
-    occ_bit = (byte >> (bit % 8).astype(jnp.uint8)) & jnp.uint8(1)
+    n_bytes = state.bitfield.shape[0]
+    if n_bytes % 128 == 0:
+        # wide-row path: same bits viewed as [n/128, 32] i32 rows.  packbits
+        # is LSB-first per byte and the bitcast is little-endian, so bit k of
+        # word w covers global bit index row*1024 + w*32 + k directly.
+        words = jax.lax.bitcast_convert_type(
+            state.bitfield.reshape(-1, 4), jnp.int32).reshape(-1, 32)
+        flatb = bit.reshape(-1)
+        row = jnp.take(words, flatb // 1024, axis=0)          # [B, 32]
+        word_in = ((flatb // 32) % 32).astype(jnp.int32)
+        iota32 = jnp.arange(32, dtype=jnp.int32)[None, :]
+        word = jnp.sum(jnp.where(iota32 == word_in[:, None], row, 0), axis=-1)
+        b = jax.lax.shift_right_logical(word, flatb % 32) & 1
+        occ_bit = b.reshape(bit.shape).astype(jnp.uint8)
+    else:
+        byte = state.bitfield[bit // 8]
+        occ_bit = (byte >> (bit % 8).astype(jnp.uint8)) & jnp.uint8(1)
     inside = ax <= bound
     warmup = state.iter_density <= WARMUP_UPDATES
     return (warmup | (occ_bit > 0)) & inside
