@@ -185,6 +185,9 @@ class Config:
                                    # measures 25.27 dB on the bear fixture vs
                                    # 25.38 for ×16 — docs/PERF.md)
     triplane_bwd: str = "matmul"   # "matmul" (scatter-free MXU) | "scatter"
+                                   # | "banded" (bucket-compacted band
+                                   # matmul: ~R/33× fewer dT flops, exact
+                                   # via overflow reroute — docs/PERF.md)
     triplane_fwd_bf16: bool = False  # gather bf16 packed rows.  Halves
                                    # packed-table bytes; measured NEUTRAL at
                                    # the flagship (the 19 MB f32 fine table
@@ -239,9 +242,10 @@ class Config:
         if self.grid_type not in ("tiled", "hash", "triplane"):
             raise ValueError(
                 f"--grid_type must be tiled|hash|triplane, got {self.grid_type}")
-        if self.triplane_bwd not in ("matmul", "scatter"):
+        if self.triplane_bwd not in ("matmul", "scatter", "banded"):
             raise ValueError(
-                f"--triplane_bwd must be matmul|scatter, got {self.triplane_bwd}")
+                f"--triplane_bwd must be matmul|scatter|banded, "
+                f"got {self.triplane_bwd}")
         if self.ckpt_format not in ("pth", "orbax"):
             raise ValueError(
                 f"--ckpt_format must be pth|orbax, got {self.ckpt_format}")

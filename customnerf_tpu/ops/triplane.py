@@ -62,7 +62,11 @@ class TriplaneSpec:
     resolutions: Tuple[int, ...] = (128, 512)
     channels: int | Tuple[int, ...] = 16
     input_dim: int = 3
-    bwd: str = "matmul"        # "matmul" (MXU, scatter-free) | "scatter" (autodiff)
+    bwd: str = "matmul"        # "matmul" (MXU, scatter-free) | "scatter"
+                               # | "banded" (bucket-compacted band matmul —
+                               #   cuts dT flops R/(bw+1)× AND the Kronecker
+                               #   build traffic; exact via per-chunk
+                               #   overflow reroute + full-path lax.cond) (autodiff)
     mm_bf16: bool = True       # run the backward matmuls in bf16 (f32 accumulate)
     bwd_chunk: int = 8192      # samples per backward matmul chunk (sweep:
                                # 2048→68.0k, 4096→71.7k, 8192→72.2k,
@@ -71,15 +75,27 @@ class TriplaneSpec:
     pack_span: int = 7         # packed-row v-span S (fwd row = 2(S+1)C channels)
     fwd_bf16: bool = False     # gather bf16 packed rows (−16% fwd, matches the
                                # reference's fp16 embeddings, grid.py:45-47)
+    banded_bw: int = 32        # bwd="banded": u-bucket width (band = bw+1 rows)
+    banded_sub: int = 512      # bwd="banded": compaction sub-block size
+    banded_q: int = 48         # bwd="banded": slots per bucket per sub-block
+    banded_q2: int = 32        # bwd="banded": chunk-wide second-level slots
+                               # per bucket for sub-block overflow; if even
+                               # those overflow the chunk takes the
+                               # full-width path via lax.cond (gradient
+                               # stays EXACT under every skew)
 
     def __post_init__(self):
         assert self.input_dim == 3, "tri-plane encoding requires 3-D inputs"
         assert all(r >= 2 for r in self.resolutions)
-        assert self.bwd in ("matmul", "scatter")
         if isinstance(self.channels, (tuple, list)):
             object.__setattr__(self, "channels", tuple(self.channels))
             assert len(self.channels) == len(self.resolutions), (
                 "per-level channels must match resolutions")
+        assert self.bwd in ("matmul", "scatter", "banded")
+        if self.bwd == "banded":
+            assert self.bwd_chunk % self.banded_sub == 0, (
+                "banded backward needs bwd_chunk % banded_sub == 0")
+            assert self.banded_q <= self.banded_sub
 
     def channels_at(self, level: int) -> int:
         c = self.channels
@@ -321,6 +337,216 @@ def _plane_dtable(u0, v0, fu, fv, g, R, C, chunk, use_bf16):
     return dT.reshape(R * R, C)
 
 
+def _rank_exclusive(A):
+    """Exclusive per-row rank of 0/1 lanes: rank[..., b, s] = Σ_{s'<s}
+    A[..., b, s'] — as ONE strict-upper-triangular MXU matmul instead of
+    ``jnp.cumsum`` (whose multi-pass scan lowering re-materializes the
+    operand every pass and dominated the whole banded path when measured;
+    counting 0/1 with f32 accumulation is exact to 2²⁴, far above any
+    sub-block length used here).  The scan axis is LAST so the bucket axis
+    (nb, typically 16) never sits minor and never lane-pads 8×."""
+    S = A.shape[-1]
+    io = jnp.arange(S, dtype=jnp.int32)
+    # f32 operands: the matmuls are tiny (≤134 MFLOP/chunk) and XLA:CPU has
+    # no bf16 batched-dot thunk (tests + the multichip dryrun run on CPU)
+    triu = (io[:, None] < io[None, :]).astype(jnp.float32)     # [S', S]
+    return jnp.einsum("...bt,ts->...bs", A.astype(jnp.float32), triu,
+                      preferred_element_type=jnp.float32)
+
+
+def _plane_dtable_banded(u0, v0, fu, fv, g, R, C, chunk, use_bf16,
+                         bw, sub, q, q2):
+    """Bucket-compacted BANDED table gradient — same contract as
+    :func:`_plane_dtable`, ~R/(bw+1)× fewer matmul FLOPs and a small
+    Kronecker build instead of the full-width ``V ⊗ g`` HBM wall.
+
+    The u axis splits into ``nb = R // bw`` buckets (band rows ``bw+1``:
+    ``u0+1`` of the bucket's last cell lands on the next bucket's first row,
+    folded back in the unpack).  Per sub-block of ``sub`` samples, samples
+    compact into per-bucket slots with the same one-hot-matmul trick as the
+    march/ray compaction — exact 0/1 products on the narrow PAYLOAD
+    (u0, v0, fu, fv, g), not on a wide Kronecker.  Per bucket the one-hot
+    bilinear ``V`` becomes the LEFT operand and the RHS is only
+    ``(bw+1)·C`` wide::
+
+        dT_band[h, v, ul·C + c] = V_hᵀ @ (U_lo ⊗ g)_h        # [R, (bw+1)C]
+
+    Everything stays in BAND layout — there is no [R, R·C] accumulator:
+
+    * sub-block overflow (slot ≥ q) reroutes EXACTLY through a chunk-wide
+      second-level compaction into ``q2`` extra slots per bucket,
+      concatenated onto the same phase-2 ``m`` axis;
+    * if a bucket's chunk-wide overflow exceeds ``q2`` (extreme skew),
+      ``lax.cond`` sends the whole chunk through the full-width matmul and
+      reshapes its [R, R·C] result INTO band layout (u = h·bw + ul is a
+      bijection) — the gradient is exact under every sample skew (pinned
+      vs scatter autodiff in tests/test_triplane.py);
+    * one-hot/bilinear factors are built directly in the matmul dtype —
+      no f32 intermediate + cast round-trip (HBM discipline).
+
+    ``use_bf16`` note: the payload rides a bf16 matmul, which is exact for
+    the integer corners only up to 512 — callers gate banded on R ≤ 512
+    when ``use_bf16`` (the flagship's fine plane is 512).
+    """
+    B = g.shape[0]
+    Bc = min(chunk, B)
+    if Bc % sub:
+        sub = Bc
+    nsub = Bc // sub
+    nb = R // bw
+    band = bw + 1
+    m1 = nsub * q
+    n_chunks = -(-B // Bc)
+    pad = n_chunks * Bc - B
+    if pad:
+        # padded rows carry zero gradient → contribute nothing (they do
+        # consume bucket-0 slots; the overflow reroute keeps exactness)
+        u0 = jnp.pad(u0, (0, pad))
+        v0 = jnp.pad(v0, (0, pad))
+        fu = jnp.pad(fu, (0, pad))
+        fv = jnp.pad(fv, (0, pad))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+
+    mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    pw = 4 + C                         # payload: u0, v0, fu, fv, g[C]
+    iota_cols = jnp.arange(nb * q, dtype=jnp.int32)[None, None, :]
+    iota_cols2 = jnp.arange(nb * q2, dtype=jnp.int32)[None, :]
+    iota_band = jnp.arange(band, dtype=jnp.int32)
+    iota_R = jnp.arange(R, dtype=jnp.int32)
+    iota_nb = jnp.arange(nb, dtype=jnp.int32)
+    hoff = iota_nb[:, None] * bw
+
+    def _bilinear_onehot(idx, frac, width_iota):
+        # built directly in the matmul dtype (exact: 0/1 times a rounded
+        # fraction — the fraction would be rounded at the dot anyway)
+        f = frac.astype(mm_dtype)[..., None]
+        return ((width_iota == idx[..., None]).astype(mm_dtype) * (1 - f)
+                + (width_iota == idx[..., None] + 1).astype(mm_dtype) * f)
+
+    def body(i, carry):
+        acc_band = carry
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, i * Bc, Bc, 0)
+        u0c, v0c, fuc, fvc, gc = sl(u0), sl(v0), sl(fu), sl(fv), sl(g)
+
+        # bucket / slot bookkeeping (MXU rank matmuls, _rank_exclusive —
+        # cumsum's scan lowering dominated the whole path when measured);
+        # bucket tensors live as [nsub, nb, sub] — sub minor, no lane pad
+        h = (u0c // bw).reshape(nsub, sub)
+        A = (h[:, None, :] == iota_nb[None, :, None]
+             ).astype(jnp.float32)                         # [nsub, nb, sub]
+        rank = _rank_exclusive(A)
+        slot = jnp.sum(A * rank, axis=1).astype(jnp.int32)  # [nsub, sub]
+        keep = slot < q
+        n_ov1 = jnp.sum((~keep).astype(jnp.int32))
+
+        # chunk-wide second level over the sub-block overflow: per-sub-block
+        # rank + exclusive block offsets (two-level scan, both on the MXU)
+        hflat = h.reshape(Bc)
+        ovf = (~keep).reshape(Bc)
+        A2 = ((h[:, None, :] == iota_nb[None, :, None])
+              & (~keep)[:, None, :]).astype(jnp.float32)   # [nsub, nb, sub]
+        r2_local = _rank_exclusive(A2)
+        tot2 = jnp.sum(A2, axis=-1)                        # [nsub, nb]
+        off2 = _rank_exclusive(tot2.T[None])[0].T          # [nsub, nb]
+        rank2 = r2_local + off2[:, :, None]
+        slot2 = (jnp.sum(A2 * rank2, axis=1)
+                 .reshape(Bc).astype(jnp.int32))
+        keep2 = ovf & (slot2 < q2)
+        n_ov2 = jnp.sum((ovf & ~keep2).astype(jnp.int32))
+
+        P = jnp.stack(
+            [u0c.astype(jnp.float32), v0c.astype(jnp.float32), fuc, fvc],
+            axis=-1)
+        P = jnp.concatenate([P, gc], axis=-1)              # [Bc, pw]
+
+        def banded_branch(_):
+            col = h * q + slot
+            M = ((iota_cols == col[:, :, None]) & keep[:, :, None]
+                 ).astype(mm_dtype)                        # [nsub, sub, nb*q]
+            Pt = P.reshape(nsub, sub, pw).transpose(0, 2, 1).astype(mm_dtype)
+            Pc = jax.lax.dot_general(
+                Pt, M, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [nsub, pw, nb*q]
+            Pc = (Pc.reshape(nsub, pw, nb, q)
+                  .transpose(2, 0, 3, 1).reshape(nb, m1, pw))
+
+            def _second_level(_):
+                col2 = hflat * q2 + slot2
+                M2 = ((iota_cols2 == col2[:, None]) & keep2[:, None]
+                      ).astype(mm_dtype)                   # [Bc, nb*q2]
+                Pc2 = jax.lax.dot_general(
+                    P.T.astype(mm_dtype), M2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [pw, nb*q2]
+                return Pc2.reshape(pw, nb, q2).transpose(1, 2, 0)
+
+            # most chunks have zero sub-block overflow (q sits ≳3σ above
+            # the per-sub-block bucket mean) — skip the M2 build+dot there
+            Pc2 = jax.lax.cond(
+                n_ov1 > 0, _second_level,
+                lambda _: jnp.zeros((nb, q2, pw), jnp.float32), None)
+            Pcat = jnp.concatenate([Pc, Pc2], axis=1)      # [nb, m, pw]
+
+            u0b = Pcat[..., 0].astype(jnp.int32)
+            v0b = Pcat[..., 1].astype(jnp.int32)
+            fub, fvb = Pcat[..., 2], Pcat[..., 3]
+            gb = Pcat[..., 4:]
+            ul = u0b - hoff                                # [nb, m]
+
+            # fold the v-bilinear weights INTO the (narrow) RHS so the wide
+            # [nb, m, R] factor is a single-compare 0/1 one-hot — the
+            # bilinear build's two compares + two multiplies on the
+            # R-wide tensor were the phase-2 VPU wall when measured
+            V01 = (iota_R[None, None, :] == v0b[..., None]).astype(mm_dtype)
+            Ulo = _bilinear_onehot(ul, fub, iota_band[None, None, :])
+            # Kronecker via repeat·tile, NOT a 4-D broadcast-multiply: the
+            # [nb, m, band, C] intermediate pads its C-minor 16× (TPU tile
+            # (8,128)) and measured 4.5× slower than the full-width
+            # baseline it replaces (layout discipline, ops/grid.py)
+            RHS = (jnp.repeat(Ulo, C, axis=-1)
+                   * jnp.tile(gb.astype(mm_dtype), (1, 1, band)))
+            fvm = fvb.astype(mm_dtype)[..., None]
+            RHS2 = jnp.concatenate([RHS * (1 - fvm), RHS * fvm], axis=-1)
+            out = jax.lax.dot_general(
+                V01, RHS2, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # [nb, R, 2*band*C]
+            bc = band * C
+            # the fv half belongs to row v0+1: shift down one v-row
+            return out[..., :bc] + jnp.concatenate(
+                [jnp.zeros_like(out[:, :1, bc:]), out[:, :-1, bc:]], axis=1)
+
+        def full_branch(_):
+            # second level exhausted (extreme skew): whole chunk through
+            # the full-width matmul, result reshaped INTO band layout
+            U = _bilinear_onehot(u0c, fuc, iota_R[None, :])
+            Vf = _bilinear_onehot(v0c, fvc, iota_R[None, :])
+            W = (jnp.repeat(Vf, C, axis=-1)
+                 * jnp.tile(gc.astype(mm_dtype), (1, R)))
+            part = jax.lax.dot_general(
+                U, W, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [R, R*C]
+            pb = part.reshape(nb, bw, R, C)
+            pb = jnp.concatenate(
+                [pb, jnp.zeros((nb, 1, R, C), jnp.float32)], axis=1)
+            return pb.transpose(0, 2, 1, 3).reshape(nb, R, band * C)
+
+        part_band = jax.lax.cond(
+            n_ov2 == 0, banded_branch, full_branch, None)
+        return acc_band + part_band
+
+    acc_band = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((nb, R, band * C), jnp.float32))
+
+    # unpack band (h, v, ul, c) → absolute (u = h·bw + ul, v, c); each
+    # bucket's ul = bw row is the next bucket's u-row 0 (fold back)
+    bandT = (acc_band.reshape(nb, R, band, C)
+             .transpose(0, 2, 1, 3))                       # [nb, band, R, C]
+    main = bandT[:, :bw].reshape(R, R, C)
+    spill = bandT[:, bw]                                   # [nb, R, C]
+    main = main.at[bw::bw].add(spill[:-1])
+    return main.reshape(R * R, C)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _encode_mm(x01, table, spec: TriplaneSpec):
     return _encode_packed(x01, table, spec)
@@ -355,8 +581,19 @@ def _encode_mm_bwd(spec: TriplaneSpec, res, g):
         col += Cl
         # the matmul backward runs at the LEVEL's width Cl — this is where
         # per-level channels pay off (dT flops scale R²·Cl)
-        dT = _plane_dtable(u0, v0, fu, fv, gk, R, Cl,
-                           spec.bwd_chunk, spec.mm_bf16)
+        banded_ok = (spec.bwd == "banded"
+                     and R % spec.banded_bw == 0
+                     and R // spec.banded_bw >= 2
+                     # bf16 payload matmul is integer-exact only to 512
+                     and (not spec.mm_bf16 or R <= 512))
+        if banded_ok:
+            dT = _plane_dtable_banded(
+                u0, v0, fu, fv, gk, R, Cl, spec.bwd_chunk, spec.mm_bf16,
+                spec.banded_bw, spec.banded_sub, spec.banded_q,
+                spec.banded_q2)
+        else:
+            dT = _plane_dtable(u0, v0, fu, fv, gk, R, Cl,
+                               spec.bwd_chunk, spec.mm_bf16)
         if Cl < Cmax:
             dT = jnp.pad(dT, ((0, 0), (0, Cmax - Cl)))
         dT_blocks.append(dT)
@@ -392,7 +629,7 @@ def triplane_encode(x01, table, spec: TriplaneSpec):
       [..., output_dim] features (table dtype): per level, the XY/XZ/YZ plane
       features concatenated.
     """
-    if spec.bwd == "matmul":
+    if spec.bwd in ("matmul", "banded"):
         return _encode_mm(x01, table, spec)
     return _encode_impl(x01, table, spec)
 

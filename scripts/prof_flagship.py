@@ -52,7 +52,8 @@ def main():
     ray_counts = [int(a) for a in sys.argv[1:]] or [16384]
     n_coarse = 2 * n_keep
 
-    tri = TriplaneSpec(resolutions=res, channels=chans, bwd="matmul",
+    tri = TriplaneSpec(resolutions=res, channels=chans,
+                       bwd=os.environ.get("PROF_BWD", "matmul"),
                        pack_span=span,
                        fwd_bf16=os.environ.get("PROF_FWD_BF16", "1") == "1")
     field = NeRFField(FieldConfig(bound=2.0, grid=tri,

@@ -109,6 +109,58 @@ def test_backward_chunking_pads_correctly():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_banded_backward_matches_scatter_autodiff():
+    """bwd="banded" (bucket-compacted band matmul) ≡ scatter autodiff, with
+    the fine level banded (16 % 4 == 0) and the 17-res level falling back
+    to the plain matmul path (17 % 4 != 0) in the same backward."""
+    spec = _spec(resolutions=(16, 17), bwd="banded", bwd_chunk=32,
+                 banded_bw=4, banded_sub=16, banded_q=8, banded_q2=16)
+    table = triplane_init(jax.random.PRNGKey(0), spec)
+    x = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(1), (51, 3)),
+        jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [1.3, 0.5, 0.5]],
+                    jnp.float32)])
+    g = jax.random.normal(jax.random.PRNGKey(2), (54, spec.output_dim))
+
+    dx_b, dt_b = jax.grad(
+        lambda xx, t: jnp.sum(triplane_encode(xx, t, spec) * g),
+        argnums=(0, 1))(x, table)
+    dx_sc, dt_sc = jax.grad(
+        lambda xx, t: jnp.sum(_encode_impl(xx, t, spec) * g),
+        argnums=(0, 1))(x, table)
+    np.testing.assert_allclose(np.asarray(dt_b), np.asarray(dt_sc),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx_b), np.asarray(dx_sc),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dx_b)[-1], 0.0)
+
+
+def test_banded_backward_overflow_and_cond_fallback_exact():
+    """Skewed samples force (a) the sub-block overflow reroute (slot ≥ q)
+    and (b) with q_ov tiny, the lax.cond full-width fallback — the gradient
+    must stay exact through both."""
+    # all x concentrated in one u-bucket of every plane → massive overflow
+    x = jnp.clip(
+        0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (64, 3)),
+        0.0, 1.0)
+    g = None
+    for qov, label in ((64, "level-2 reroute"), (0, "cond-fallback")):
+        spec = _spec(resolutions=(16,), channels=4, bwd="banded",
+                     bwd_chunk=32, banded_bw=4, banded_sub=16,
+                     banded_q=2, banded_q2=qov)
+        table = triplane_init(jax.random.PRNGKey(0), spec)
+        if g is None:
+            g = jax.random.normal(jax.random.PRNGKey(2),
+                                  (64, spec.output_dim))
+        dt_b = jax.grad(
+            lambda t: jnp.sum(triplane_encode(x, t, spec) * g))(table)
+        dt_sc = jax.grad(
+            lambda t: jnp.sum(_encode_impl(x, t, spec) * g))(table)
+        np.testing.assert_allclose(
+            np.asarray(dt_b), np.asarray(dt_sc), rtol=1e-4, atol=1e-6,
+            err_msg=f"banded {label} path diverged from scatter autodiff")
+
+
 def test_field_with_triplane_trains():
     import optax
 
