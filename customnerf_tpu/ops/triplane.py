@@ -78,6 +78,9 @@ class TriplaneSpec:
     banded_bw: int = 32        # bwd="banded": u-bucket width (band = bw+1 rows)
     banded_sub: int = 512      # bwd="banded": compaction sub-block size
     banded_q: int = 48         # bwd="banded": slots per bucket per sub-block
+    banded_min_res: int = 256  # bwd="banded": band only planes with R ≥ this
+                               # (small planes' full-width matmul is cheaper
+                               # than the compaction machinery, measured)
     banded_q2: int = 32        # bwd="banded": chunk-wide second-level slots
                                # per bucket for sub-block overflow; if even
                                # those overflow the chunk takes the
@@ -584,6 +587,10 @@ def _encode_mm_bwd(spec: TriplaneSpec, res, g):
         banded_ok = (spec.bwd == "banded"
                      and R % spec.banded_bw == 0
                      and R // spec.banded_bw >= 2
+                     # small planes: the per-chunk compaction machinery
+                     # costs more than the full-width matmul it replaces
+                     # (measured: banding the 128-level ADDED ~10 ms/step)
+                     and R >= spec.banded_min_res
                      # bf16 payload matmul is integer-exact only to 512
                      and (not spec.mm_bf16 or R <= 512))
         if banded_ok:

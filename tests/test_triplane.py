@@ -114,7 +114,8 @@ def test_banded_backward_matches_scatter_autodiff():
     the fine level banded (16 % 4 == 0) and the 17-res level falling back
     to the plain matmul path (17 % 4 != 0) in the same backward."""
     spec = _spec(resolutions=(16, 17), bwd="banded", bwd_chunk=32,
-                 banded_bw=4, banded_sub=16, banded_q=8, banded_q2=16)
+                 banded_bw=4, banded_sub=16, banded_q=8, banded_q2=16,
+                 banded_min_res=8)
     table = triplane_init(jax.random.PRNGKey(0), spec)
     x = jnp.concatenate([
         jax.random.uniform(jax.random.PRNGKey(1), (51, 3)),
@@ -147,7 +148,7 @@ def test_banded_backward_overflow_and_cond_fallback_exact():
     for qov, label in ((64, "level-2 reroute"), (0, "cond-fallback")):
         spec = _spec(resolutions=(16,), channels=4, bwd="banded",
                      bwd_chunk=32, banded_bw=4, banded_sub=16,
-                     banded_q=2, banded_q2=qov)
+                     banded_q=2, banded_q2=qov, banded_min_res=8)
         table = triplane_init(jax.random.PRNGKey(0), spec)
         if g is None:
             g = jax.random.normal(jax.random.PRNGKey(2),
