@@ -26,6 +26,18 @@ import time
 
 import numpy as np
 
+# Wall-clock budget discipline (round-4 lesson: the driver's timeout killed
+# bench.py during the editing bench's cold UNet compile and the round's
+# official perf record was `parsed: null`).  The headline JSON line is now
+# printed IMMEDIATELY after the headline measurement; everything after it
+# (diagnostics, editing) is budget-gated and best-effort.
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 def _rays(n_rays):
     rng = np.random.RandomState(0)
@@ -195,8 +207,26 @@ def main():
                    f"fast(-O) triplane 128+512x(16,8) keep40 @{n_rays} rays",
                    n=n_rays)
 
-    # ---- diagnostics ------------------------------------------------------
-    def diag(fn, tag):
+    # Print the driver's JSON line NOW — before any diagnostic or editing
+    # stage can blow the driver's timeout (round 4 lost its official record
+    # exactly that way).  An enriched final line is re-printed at the end if
+    # everything completes; both are valid headline records.
+    baseline = 1.0e6
+    out = {
+        "metric": "train_step_rays_per_sec_per_chip",
+        "value": round(headline, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(headline / baseline, 4),
+    }
+    print(json.dumps(out), flush=True)
+
+    # ---- diagnostics (budget-gated, best-effort) --------------------------
+    def diag(fn, tag, need_s=120.0):
+        if _remaining() < need_s:
+            print(f"[bench] skipping {tag} diagnostic "
+                  f"({_remaining():.0f}s budget left < {need_s:.0f}s)",
+                  file=sys.stderr)
+            return
         try:
             fn()
         except Exception as e:
@@ -243,47 +273,72 @@ def main():
             "fast(-O) triplane keep40 densefill worst-case")
 
     if on_accel:
-        diag(no_compact, "no-compact")
-        diag(dense_fill, "dense-fill")
-        diag(keep64_tri, "keep64-triplane")
-        diag(parity_grid, "parity-grid")
-        diag(tuned_grid, "tuned-grid")
-        diag(dense_tri, "dense-triplane")
+        # The editing bench matters more than grid-family diagnostics: run it
+        # FIRST while budget is plentiful (its cold compile is the expensive
+        # unknown — 23 s warm-cache, ~10+ min cold), then spend what's left
+        # on diagnostics.
+        pass
 
     # ---- editing-step rate (BASELINE.md "SDS edit iteration rate") -------
-    edit_rate = None
-    if on_accel and not os.environ.get("BENCH_SKIP_EDITING"):
+    edit_out = None
+    if (on_accel and not os.environ.get("BENCH_SKIP_EDITING")
+            and _remaining() > float(os.environ.get("BENCH_EDIT_MIN_S",
+                                                    "240"))):
         import contextlib
         try:
             # trainer/guidance INFO prints go to stderr — stdout must stay
-            # exactly ONE JSON line for the driver
+            # JSON-lines-only for the driver
             with contextlib.redirect_stdout(sys.stderr):
-                edit_rate = bench_editing()
+                edit_out = bench_editing()
         except Exception as e:
             print(f"[bench] editing bench failed: {e}", file=sys.stderr)
+        if edit_out is not None:
+            # side artifact so the editing numbers survive even if a later
+            # stage (or the enriched re-print) is cut off
+            try:
+                with open("BENCH_EDITING.json", "w") as f:
+                    json.dump(edit_out, f, indent=1)
+            except OSError as e:
+                print(f"[bench] BENCH_EDITING.json write failed: {e}",
+                      file=sys.stderr)
+    elif on_accel:
+        print(f"[bench] skipping editing bench "
+              f"(budget left {_remaining():.0f}s or BENCH_SKIP_EDITING)",
+              file=sys.stderr)
 
-    baseline = 1.0e6
-    out = {
-        "metric": "train_step_rays_per_sec_per_chip",
-        "value": round(headline, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(headline / baseline, 4),
-    }
-    if edit_rate is not None:
-        out["editing_iters_per_sec"] = round(edit_rate, 3)
-    print(json.dumps(out))
+    if on_accel:
+        diag(no_compact, "no-compact")
+        diag(dense_fill, "dense-fill")
+        diag(keep64_tri, "keep64-triplane")
+        diag(parity_grid, "parity-grid", need_s=180.0)
+        diag(tuned_grid, "tuned-grid")
+        diag(dense_tri, "dense-triplane")
+
+    if edit_out is not None:
+        out["editing_iters_per_sec"] = round(edit_out["fused_compact_128"]
+                                             or edit_out["fused_128"], 3)
+        if edit_out.get("fused_shipped_res") is not None:
+            out["editing_iters_per_sec_shipped_res"] = round(
+                edit_out["fused_shipped_res"], 3)
+        print(json.dumps(out), flush=True)
 
 
 def bench_editing():
     """Full-size SDS editing step rate (random SD weights — throughput only).
 
-    Measures the two editing drive modes on a 128×128 synthetic view:
-      * split: the 3-program step (render→latents / UNet ε / surrogate bwd),
-        3 dispatches per iteration;
-      * fused scan: ``editing_steps_many`` — K fused steps per dispatch
-        (render once, UNet inline).
-    Returns the best fused-path iters/sec (with cross-ray compaction unless
-    BENCH_SKIP_EDIT_COMPACT=1 — the recommended editing config)."""
+    Measures the editing drive modes on two frame geometries:
+      * 128×128 synthetic view (comparable with the round-2..4 tables);
+      * the SHIPPED recipe's frame geometry — bear_tpu.sh phase 2 edits
+        the bear-class fixture (400×300) at --train_resolution_level 7,
+        i.e. 57×42 = 2394-ray full-image steps (VERDICT r4 weak #3).
+    Modes: split 3-program step (render→latents / UNet ε / surrogate bwd,
+    3 dispatches) vs fused scan (``editing_steps_many``, K steps/dispatch,
+    render once, UNet inline), with cross-ray compaction 0.4 on the fused
+    path unless BENCH_SKIP_EDIT_COMPACT=1 (compaction is the recommended
+    editing config — docs/PERF.md "Editing + compaction").
+
+    Returns a dict {split_128, fused_128, fused_compact_128,
+    fused_shipped_res} (missing stages → None)."""
     import shutil
 
     import jax
@@ -294,20 +349,28 @@ def bench_editing():
     from customnerf_tpu.engine.trainer import Trainer
     from customnerf_tpu.guidance.sds import StableDiffusionGuidance
 
-    ws = "/tmp/bench_edit_ws"
-    shutil.rmtree(ws, ignore_errors=True)
-    opt = Config(
-        data_type="synthetic", workspace=ws, O=True, iters=1000,
-        pretrained=True, allow_random_guidance=True, use_ckpt="scratch",
-        lambda_sd=0.01, keep_bg=1000.0, cfg=100.0, random_bg_c=True,
-        detach_bg=True, soft_mask=True, stage_time=True,
-        text="a corgi", text_fg="a corgi", grid_type="triplane",
-        num_steps=40, upsample_steps=0, train_size=8)
-    guidance = StableDiffusionGuidance(opt)
-    trainer = Trainer("bench_edit", opt, guidance=guidance,
-                      use_checkpoint="scratch")
-    loader = NeRFDataset(opt, type="train").dataloader()
-    batch = loader.item(0)
+    res = {"split_128": None, "fused_128": None, "fused_compact_128": None,
+           "fused_shipped_res": None}
+
+    def make_trainer(h, w, compact):
+        ws = "/tmp/bench_edit_ws"
+        shutil.rmtree(ws, ignore_errors=True)
+        opt = Config(
+            data_type="synthetic", workspace=ws, O=True, iters=1000,
+            pretrained=True, allow_random_guidance=True, use_ckpt="scratch",
+            lambda_sd=0.01, keep_bg=1000.0, cfg=100.0, random_bg_c=True,
+            detach_bg=True, soft_mask=True, stage_time=True,
+            text="a corgi", text_fg="a corgi", grid_type="triplane",
+            num_steps=40, upsample_steps=0, train_size=8, h=h, w=w)
+        if compact:
+            opt.compact_frac, opt.compact_block = 0.4, 32
+        guidance = StableDiffusionGuidance(opt)
+        trainer = Trainer("bench_edit", opt, guidance=guidance,
+                          use_checkpoint="scratch")
+        loader = NeRFDataset(opt, type="train").dataloader()
+        return trainer, loader.item(0), opt
+
+    trainer, batch, opt = make_trainer(128, 128, compact=False)
 
     def tick():
         # materialize a param leaf — block_until_ready is unreliable through
@@ -322,48 +385,55 @@ def bench_editing():
     n_split = 3
     for i in range(n_split):
         ed.editing_step(trainer, batch, jax.random.PRNGKey(i + 1))
-    split_rate = n_split / (tick() - t0)
-    print(f"[bench] editing split 3-program: {split_rate:.3f} iters/s",
+    res["split_128"] = n_split / (tick() - t0)
+    print(f"[bench] editing split 3-program: {res['split_128']:.3f} iters/s",
           file=sys.stderr)
 
     # fused scan path (K steps / dispatch)
     K = 4
-    keys = list(jax.random.split(jax.random.PRNGKey(7), K))
-    ed.editing_steps_many(trainer, [batch] * K, keys)  # compile
-    t0 = tick()
     n_rep = 2
-    for i in range(n_rep):
-        keys = list(jax.random.split(jax.random.PRNGKey(11 + i), K))
-        ed.editing_steps_many(trainer, [batch] * K, keys)
-    fused_rate = n_rep * K / (tick() - t0)
-    print(f"[bench] editing fused scan (K={K}): {fused_rate:.3f} iters/s",
-          file=sys.stderr)
+
+    def run_fused(key0):
+        keys = list(jax.random.split(jax.random.PRNGKey(key0), K))
+        ed.editing_steps_many(trainer, [batch] * K, keys)  # compile
+        t0 = tick()
+        for i in range(n_rep):
+            keys = list(jax.random.split(jax.random.PRNGKey(key0 + 1 + i), K))
+            ed.editing_steps_many(trainer, [batch] * K, keys)
+        return n_rep * K / (tick() - t0)
+
+    res["fused_128"] = run_fused(7)
+    print(f"[bench] editing fused scan (K={K}): "
+          f"{res['fused_128']:.3f} iters/s", file=sys.stderr)
 
     # compacted editing render — the recommended editing config since
     # session 3d: compact_remat keeps the one-hot matrices out of the fused
     # graph's residuals, so the compile is ~2 min (measured 117 s on chip;
     # it was >25 min without remat) and the rate is +45% (4.59 vs 3.17
     # iters/s).  BENCH_SKIP_EDIT_COMPACT=1 opts out.
-    if not os.environ.get("BENCH_SKIP_EDIT_COMPACT"):
+    if (not os.environ.get("BENCH_SKIP_EDIT_COMPACT")
+            and _remaining() > 180):
         opt.compact_frac, opt.compact_block = 0.4, 32
         trainer._compiled.pop("editing_many", None)  # force a re-build
         t0c = time.perf_counter()
-        keys = list(jax.random.split(jax.random.PRNGKey(23), K))
-        ed.editing_steps_many(trainer, [batch] * K, keys)  # compile
-        print(f"[bench] compacted editing compile: "
-              f"{time.perf_counter() - t0c:.0f}s", file=sys.stderr)
-        t0 = tick()
-        for i in range(n_rep):
-            keys = list(jax.random.split(jax.random.PRNGKey(29 + i), K))
-            ed.editing_steps_many(trainer, [batch] * K, keys)
-        comp_rate = n_rep * K / (tick() - t0)
+        res["fused_compact_128"] = run_fused(23)
         print(f"[bench] editing fused scan + compaction 0.4: "
-              f"{comp_rate:.3f} iters/s", file=sys.stderr)
-        # report the COMPACTED rate — it is the recommended/default editing
-        # config (bear_tpu.sh phase 2); returning max() would mask a
-        # regression in the compacted path behind the uncompacted number
-        return comp_rate
-    return fused_rate
+              f"{res['fused_compact_128']:.3f} iters/s "
+              f"(incl. compile {time.perf_counter() - t0c:.0f}s in stage)",
+              file=sys.stderr)
+
+    # shipped-recipe frame geometry (bear_tpu.sh phase 2 on the bear-class
+    # fixture: 400×300 images at train_resolution_level 7 → 57×42 frames)
+    if _remaining() > 180:
+        trainer, batch, opt = make_trainer(
+            42, 57,
+            compact=not os.environ.get("BENCH_SKIP_EDIT_COMPACT"))
+        trainer.global_step = 1
+        res["fused_shipped_res"] = run_fused(41)
+        print(f"[bench] editing fused scan @57x42 shipped-res"
+              f"{' + compaction' if opt.compact_frac else ''}: "
+              f"{res['fused_shipped_res']:.3f} iters/s", file=sys.stderr)
+    return res
 
 
 if __name__ == "__main__":

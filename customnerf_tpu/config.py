@@ -213,6 +213,11 @@ class Config:
     ckpt_format: str = "pth"       # "pth" (reference contract) | "orbax"
                                    # (async, off-thread flush)
     profile: bool = False
+    validate_weights: bool = False  # readiness drill: load --sd_weights /
+                                 # --clip_weights through the production
+                                 # paths, run one ε-prediction + VAE encode
+                                 # + CLIP match, print shape/checksum
+                                 # diagnostics, exit (guidance/validate.py)
     allow_random_guidance: bool = False  # opt-in: run editing with RANDOM
                                  # SD/CLIP weights (tests/plumbing only; a
                                  # semantic edit run without --sd_weights

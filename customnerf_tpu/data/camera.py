@@ -113,6 +113,73 @@ def radial_and_tangential_undistort(coords: np.ndarray, distortion_params: np.nd
     return np.stack([x, y], axis=-1)
 
 
+def get_rays(poses, intrinsics, H: int, W: int, N: int = -1,
+             error_map=None, rng=None, offset=(0.5, 0.5)):
+    """Pinhole ray generation with optional per-image ray subsampling and
+    error-map importance sampling.
+
+    API-surface parity with the reference's torch-ngp utility
+    (``nerf/provider_utils.py:238-302``) — unused by the reference's own
+    providers but part of its public surface.  Uses that utility's +z
+    camera convention (torch-ngp), NOT the OpenGL -z convention of the
+    nerfstudio loader.
+
+    Args:
+      poses: [B, 4, 4] cam2world.
+      intrinsics: (fx, fy, cx, cy).
+      N: >0 → subsample N rays/image: uniform with replacement, or — given
+        ``error_map`` [B, 128*128] — multinomial WITHOUT replacement over
+        the coarse 128×128 error grid, each picked coarse cell jittered to
+        a uniform fine pixel inside its footprint.
+      rng: np.random.RandomState (defaults to the global stream, like the
+        reference's global torch RNG).
+
+    Returns dict: rays_o/rays_d [B, N, 3] (unit directions), inds [B, N]
+    when subsampled, plus inds_coarse [B, N] when error_map was used (the
+    caller updates its error statistics at those coarse bins).
+    """
+    poses = np.asarray(poses, np.float32)
+    rng = rng if rng is not None else np.random
+    B = poses.shape[0]
+    fx, fy, cx, cy = [float(v) for v in intrinsics]
+    results = {}
+
+    if N > 0:
+        N = min(N, H * W)
+        if error_map is None:
+            inds = rng.randint(0, H * W, size=N)  # may duplicate
+            inds = np.broadcast_to(inds, (B, N)).copy()
+        else:
+            em = np.asarray(error_map, np.float64).reshape(B, 128 * 128)
+            inds_coarse = np.stack([
+                rng.choice(128 * 128, size=N, replace=False,
+                           p=em[b] / em[b].sum())
+                for b in range(B)
+            ]).astype(np.int64)
+            # map to full resolution with a uniform jitter inside the cell
+            ix, iy = inds_coarse // 128, inds_coarse % 128
+            sx, sy = H / 128.0, W / 128.0
+            ix = np.minimum((ix * sx + rng.rand(B, N) * sx).astype(np.int64),
+                            H - 1)
+            iy = np.minimum((iy * sy + rng.rand(B, N) * sy).astype(np.int64),
+                            W - 1)
+            inds = ix * W + iy
+            results["inds_coarse"] = inds_coarse
+        results["inds"] = inds
+    else:
+        inds = np.broadcast_to(np.arange(H * W, dtype=np.int64), (B, H * W))
+
+    x = (inds % W).astype(np.float32) + offset[0]
+    y = (inds // W).astype(np.float32) + offset[1]
+    dirs = np.stack([(x - cx) / fx, (y - cy) / fy, np.ones_like(x)], axis=-1)
+    dirs = _safe_normalize(dirs)
+    rays_d = np.einsum("bnk,bjk->bnj", dirs, poses[:, :3, :3])
+    rays_o = np.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
+    results["rays_o"] = np.ascontiguousarray(rays_o, np.float32)
+    results["rays_d"] = rays_d.astype(np.float32)
+    return results
+
+
 def get_view_direction(thetas, phis, overhead: float, front: float):
     """Bin view angles: 0 front / 1,3 side / 2 back / 4 top / 5 bottom."""
     res = np.zeros(thetas.shape[0], dtype=np.int64)

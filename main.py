@@ -51,6 +51,11 @@ def main():
         print(f"[INFO] jax.distributed up: process {jax.process_index()}"
               f"/{jax.process_count()}, {len(jax.devices())} global devices")
 
+    if opt.validate_weights:
+        from customnerf_tpu.guidance.validate import validate_weights
+        report = validate_weights(opt)
+        raise SystemExit(0 if report["ok"] else 1)
+
     if opt.test:
         trainer = Trainer("df", opt, workspace=opt.workspace,
                           use_checkpoint=opt.ckpt)

@@ -202,3 +202,49 @@ def test_nerfstudio_provider_loads_mini_scene(tmp_path):
     np.testing.assert_allclose(n, 1.0, atol=1e-5)
     # poses were normalized: origins within unit-ish ball
     assert float(np.abs(np.asarray(b.rays_o)).max()) <= 1.5
+
+
+def test_get_rays_full_and_subsample():
+    """get_rays (torch-ngp API parity, reference provider_utils.py:238-302):
+    full-res rays, uniform subsample, and error-map importance sampling."""
+    from customnerf_tpu.data.camera import get_rays
+
+    H, W = 36, 48
+    fx = fy = 40.0
+    cx, cy = W / 2, H / 2
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.3, -0.2, 1.0]
+    poses = pose[None]
+
+    # full resolution: one unit ray per pixel, origins = camera center
+    out = get_rays(poses, (fx, fy, cx, cy), H, W)
+    assert out["rays_d"].shape == (1, H * W, 3)
+    np.testing.assert_allclose(np.linalg.norm(out["rays_d"], axis=-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(out["rays_o"][0, 0], pose[:3, 3], atol=1e-6)
+    # the center pixel's ray is ~the +z camera axis (torch-ngp convention)
+    center = out["rays_d"][0, (H // 2) * W + W // 2]
+    assert center[2] > 0.99
+
+    # uniform subsample: N rays, inds consistent with the full-res set
+    rng = np.random.RandomState(0)
+    sub = get_rays(poses, (fx, fy, cx, cy), H, W, N=64, rng=rng)
+    assert sub["rays_d"].shape == (1, 64, 3)
+    np.testing.assert_allclose(sub["rays_d"][0],
+                               out["rays_d"][0][sub["inds"][0]], atol=1e-6)
+
+    # error map concentrated on one coarse cell → every sampled pixel falls
+    # inside that cell's fine-res footprint (jitter stays in-cell)
+    em = np.full((1, 128 * 128), 1e-12, np.float64)
+    cell_x, cell_y = 40, 100  # coarse (row, col)
+    em[0, cell_x * 128 + cell_y] = 1.0
+    # multinomial is without replacement: ask for 1 ray many times
+    xs, ys = [], []
+    imp = get_rays(poses, (fx, fy, cx, cy), H, W, N=1, error_map=em, rng=rng)
+    assert imp["inds_coarse"].shape == (1, 1)
+    assert imp["inds_coarse"][0, 0] == cell_x * 128 + cell_y
+    ind = imp["inds"][0, 0]
+    px, py = ind // W, ind % W
+    sx, sy = H / 128.0, W / 128.0
+    assert int(cell_x * sx) <= px <= min(int((cell_x + 1) * sx), H - 1)
+    assert int(cell_y * sy) <= py <= min(int((cell_y + 1) * sy), W - 1)
