@@ -242,3 +242,26 @@ def test_pallas_dtable_matches_xla_interpret():
     got = np.asarray(plane_dtable_pallas(u0, v0, fu, fv, g, R, C, chunk=32,
                                          use_bf16=False, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_dtable_fw_matches_xla_interpret():
+    """Round-5 full-width Pallas dT (sample-chunk grid, VMEM-resident
+    accumulator) stays exact vs the XLA backward, incl. the ragged-chunk
+    zero-pad path (B=100 not divisible by chunk=32)."""
+    from customnerf_tpu.ops.triplane_pallas import plane_dtable_pallas_fw
+    from customnerf_tpu.ops.triplane import _plane_dtable
+
+    rng = np.random.RandomState(1)
+    R, C, B = 16, 4, 100
+    u0 = jnp.asarray(rng.randint(0, R - 1, B).astype(np.int32))
+    v0 = jnp.asarray(rng.randint(0, R - 1, B).astype(np.int32))
+    fu = jnp.asarray(rng.rand(B).astype(np.float32))
+    fv = jnp.asarray(rng.rand(B).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, C).astype(np.float32))
+
+    want = np.asarray(_plane_dtable(u0, v0, fu, fv, g, R, C, chunk=32,
+                                    use_bf16=False))
+    got = np.asarray(plane_dtable_pallas_fw(u0, v0, fu, fv, g, R, C,
+                                            chunk=32, use_bf16=False,
+                                            interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
