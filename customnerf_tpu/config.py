@@ -208,6 +208,12 @@ class Config:
                                    # march-buffer sizing, raymarching.py:
                                    # 196-233, as a static-shape analog).
     compact_block: int = 16        # rays per compaction block
+    compact_layout: str = "planes"  # compacted-eval tensor layout:
+                                   # "planes" = channel-major scalar planes
+                                   # (no tiny-minor-dim materializations —
+                                   # round-5 fwd-rest attack, docs/PERF.md);
+                                   # "wide" = the round-3 [N, K, C] path
+                                   # (kept for A/B; numerically identical)
     mlp_bias: bool = False         # tcnn FullyFusedMLPs are bias-free
     max_keep_ckpt: int = 5
     ckpt_format: str = "pth"       # "pth" (reference contract) | "orbax"
@@ -261,6 +267,10 @@ class Config:
         if self.compact_block <= 0:
             raise ValueError(
                 f"--compact_block must be positive, got {self.compact_block}")
+        if self.compact_layout not in ("planes", "wide"):
+            raise ValueError(
+                f"--compact_layout must be planes|wide, "
+                f"got {self.compact_layout}")
 
     # Flags accepted for CLI parity with the reference (its argparse surface,
     # main.py:11-146) but NOT wired in this rebuild — either dead in the

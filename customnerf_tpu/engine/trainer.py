@@ -335,7 +335,8 @@ class Trainer:
                     # cannot afford the saved one-hot residuals — remat the
                     # compacted eval there; recon keeps the saved-residual
                     # fast path (see renderer.render_rays_fast docstring)
-                    compact_remat=opt.pretrained)
+                    compact_remat=opt.pretrained,
+                    compact_layout=opt.compact_layout)
         else:
             def render(p, occ, o, d, key, train, perturb, bg_color=None):
                 return render_rays(field, p, o, d, key, s, train=train,

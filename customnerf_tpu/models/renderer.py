@@ -62,12 +62,27 @@ def _composite(
     occupancy fast path's semantics (each CUDA march sample carries its own
     dt, raymarching.cu:345-346,501-577; skipped empty space contributes no
     opacity).  const_dt=False derives deltas from consecutive depths, the
-    dense stratified path's semantics (renderer.py:310-322)."""
+    dense stratified path's semantics (renderer.py:310-322).
+
+    ``rgbs`` / ``masks`` may also be TUPLES of [N, T] channel planes (the
+    compacted plane-layout path, which never materializes a [N, T, 3]
+    minor-dim-3 tensor — CLAUDE.md tiling discipline); outputs are
+    identical either way."""
+    rgb_pl = isinstance(rgbs, (tuple, list))
+    mask_pl = isinstance(masks, (tuple, list))
     if detach_nonedit and masks is not None:
         # detach_bg: gradients flow only through "edit" points (mask ≥ 0.5)
-        edit = jnp.mean(masks, axis=-1) >= 0.5  # [N, T]
+        if mask_pl:
+            edit = sum(masks) / len(masks) >= 0.5       # [N, T]
+        else:
+            edit = jnp.mean(masks, axis=-1) >= 0.5      # [N, T]
         sigmas = jnp.where(edit, sigmas, jax.lax.stop_gradient(sigmas))
-        rgbs = jnp.where(edit[..., None], rgbs, jax.lax.stop_gradient(rgbs))
+        if rgb_pl:
+            rgbs = tuple(jnp.where(edit, c, jax.lax.stop_gradient(c))
+                         for c in rgbs)
+        else:
+            rgbs = jnp.where(edit[..., None], rgbs,
+                             jax.lax.stop_gradient(rgbs))
 
     if const_dt:
         deltas = jnp.broadcast_to(sample_dist, z_vals.shape)
@@ -86,7 +101,11 @@ def _composite(
     span = jnp.where(fars > nears, fars - nears, 1.0)
     ori_z = jnp.clip((z_vals - nears) / span, 0.0, 1.0)
     depth = jnp.sum(weights * ori_z, axis=-1)
-    image = jnp.sum(weights[..., None] * rgbs, axis=-2)  # [N, 3]
+    if rgb_pl:
+        image = jnp.stack([jnp.sum(weights * c, axis=-1) for c in rgbs],
+                          axis=-1)                       # [N, 3]
+    else:
+        image = jnp.sum(weights[..., None] * rgbs, axis=-2)  # [N, 3]
 
     out = {}
     if bg_color is not None:
@@ -101,7 +120,11 @@ def _composite(
 
     if masks is not None:
         w = jax.lax.stop_gradient(weights) if s.detach_mask_from_field else weights
-        out["render_mask"] = jnp.sum(w[..., None] * masks, axis=-2)  # [N, M]
+        if mask_pl:
+            out["render_mask"] = jnp.stack(
+                [jnp.sum(w * c, axis=-1) for c in masks], axis=-1)  # [N, M]
+        else:
+            out["render_mask"] = jnp.sum(w[..., None] * masks, axis=-2)
     return out
 
 
@@ -203,15 +226,19 @@ def _add_fg_bg(results, sigmas, rgbs, masks, z_all, sample_dist, nears, fars,
     """fg/bg σ decomposition via the confidence mask (renderer.py:383-405)."""
     if not (s.train_conf and masks is not None):
         return
+    conf = masks[0] if isinstance(masks, (tuple, list)) else masks[..., 0]
     if s.soft_mask:
-        edit_mask = jax.nn.sigmoid((masks[..., 0] - s.conf_thr) * 100.0)  # [N, T]
+        edit_mask = jax.nn.sigmoid((conf - s.conf_thr) * 100.0)  # [N, T]
     else:
-        edit_mask = (masks[..., 0] > 0.5).astype(sigmas.dtype)
+        edit_mask = (conf > 0.5).astype(sigmas.dtype)
     sigmas_fg = sigmas * edit_mask
     sigmas_bg = sigmas * (1.0 - edit_mask)
 
     results["sigma"] = sigmas
-    results["rgbs"] = rgbs
+    # [N, T, 3] contract key; assembled from planes only if a consumer
+    # actually fetches it (XLA DCEs it inside the train/eval jits)
+    results["rgbs"] = (jnp.stack(rgbs, axis=-1)
+                       if isinstance(rgbs, (tuple, list)) else rgbs)
     results["edit_mask"] = edit_mask
     results["fg"] = _composite(
         sigmas_fg, rgbs, masks, z_all, sample_dist, nears, fars, s,
@@ -273,6 +300,78 @@ def _eval_field_compacted(apply_fn, xyz, dirs, valid, frac, block_rays):
     return sigmas, radiance, dt_mult
 
 
+def _eval_field_compacted_pl(apply_fn, rays_o, rays_d, z, valid, frac,
+                             block_rays, aabb):
+    """Plane-layout variant of :func:`_eval_field_compacted` (round 5).
+
+    Numerically identical, but no [N, K, 3] / [N, K, 6] / [NB, G·K, C]
+    tensor with a tiny minor dim is ever materialized (each pads its last
+    dim to 128 lanes on TPU — 16-42× HBM traffic waste, the measured
+    "fwd-rest" wall of the round-4 stage decomposition):
+
+    * rays permute as [N, 3] / [N, K] arrays; xyz is NOT built on the slab;
+    * the pack matmul compacts 7 scalar planes (z, o·3, d·3) channel-major
+      — [NB, 7, G·K] @ [NB, G·K, M], minor dims G·K / M, nothing pads;
+    * xyz_c = clip(o_c + d_c·z_c) is computed on the compacted [NB, 3, M]
+      (same f32 ops/order as the slab build — bit-identical);
+    * σ/radiance scatter back channel-major and reach the composites as
+      [N, K] planes (``_composite`` consumes planes natively).
+
+    Returns (sigmas [N, K], rad_planes tuple of [N, K], dt_mult [N]).
+    """
+    from customnerf_tpu.ops.compaction import (block_budget, compact_plan,
+                                               compact_planes,
+                                               ray_permutation,
+                                               uncompact_planes)
+
+    N, K = z.shape
+    G = block_rays
+    n_pad = (-N) % G
+    if n_pad:
+        rays_o = jnp.concatenate([rays_o, jnp.repeat(rays_o[-1:], n_pad, 0)], 0)
+        rays_d = jnp.concatenate([rays_d, jnp.repeat(rays_d[-1:], n_pad, 0)], 0)
+        z = jnp.concatenate([z, jnp.repeat(z[-1:], n_pad, 0)], 0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((n_pad, K), valid.dtype)], 0)
+    Np = N + n_pad
+
+    perm, inv_perm = ray_permutation(Np)
+    o_p, d_p = rays_o[perm], rays_d[perm]               # [Np, 3] (tiny)
+    z_p, valid_p = z[perm], valid[perm]                 # [Np, K] (2-D)
+
+    budget = block_budget(G, K, frac)
+    onehot, slot_valid, block_scale = compact_plan(valid_p, G, budget)
+
+    planes = [z_p]
+    planes += [jnp.broadcast_to(o_p[:, i:i + 1], (Np, K)) for i in range(3)]
+    planes += [jnp.broadcast_to(d_p[:, i:i + 1], (Np, K)) for i in range(3)]
+    pc = compact_planes(onehot, planes)                 # [NB, 7, M]
+    z_c = pc[:, 0:1]                                    # [NB, 1, M]
+    xyz_c = jnp.clip(pc[:, 1:4] + pc[:, 4:7] * z_c,
+                     aabb[:3, None], aabb[3:, None])    # [NB, 3, M]
+    dirs_c = pc[:, 4:7]
+
+    # field boundary keeps the [..., 3] contract (the custom_vjp encode
+    # boundary materializes [B, 3] in either layout — equal, small cost)
+    sig_c, rad_c = apply_fn(xyz_c.transpose(0, 2, 1),
+                            dirs_c.transpose(0, 2, 1))  # [NB, M(, R)]
+    out_pl = jnp.concatenate(
+        [sig_c[:, None, :].astype(jnp.float32),
+         rad_c.transpose(0, 2, 1).astype(jnp.float32)], axis=1)  # [NB,1+R,M]
+    out_pl = out_pl * slot_valid[:, None, :]
+    up = uncompact_planes(onehot, out_pl)               # [NB, 1+R, G·K]
+
+    R = up.shape[1] - 1
+
+    def plane(i):
+        return up[:, i, :].reshape(Np, K)[inv_perm][:N]
+
+    sigmas = plane(0)
+    rad_planes = tuple(plane(1 + i) for i in range(R))
+    dt_mult = jnp.repeat(block_scale[:, 0], G)[inv_perm][:N]
+    return sigmas, rad_planes, dt_mult
+
+
 def render_rays_fast(
     field,
     params,
@@ -290,6 +389,7 @@ def render_rays_fast(
     compact_frac: float = 0.0,
     compact_block: int = 16,
     compact_remat: bool = False,
+    compact_layout: str = "planes",
 ):
     """Occupancy-grid fast path (the reference's ``-O``/``run_cuda`` mode,
     renderer.py:597-718): march only occupied cells, evaluate the field on a
@@ -331,29 +431,46 @@ def render_rays_fast(
     # NaN.  Pin them to far so the depth sequence stays monotone.
     z = jnp.where(valid, z, fars_[:, None])
 
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
-    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
-
     if apply_fns is not None:
         apply_fn = apply_fns[0]
     else:
         apply_fn = lambda x, d: field.apply(params, x, d)
 
-    if compact_frac and compact_frac > 0.0:
-        def _compacted(xyz_, dirs_, valid_):
-            return _eval_field_compacted(
-                apply_fn, xyz_, dirs_, valid_, compact_frac, compact_block)
+    if compact_frac and compact_frac > 0.0 and compact_layout == "planes":
+        # plane-layout compaction: xyz is never built on the [N, K] slab
+        # (see _eval_field_compacted_pl)
+        def _compacted_pl(o_, d_, z_, valid_):
+            return _eval_field_compacted_pl(
+                apply_fn, o_, d_, z_, valid_, compact_frac, compact_block,
+                aabb)
 
         if compact_remat:
-            _compacted = jax.checkpoint(_compacted)
-        sigmas, radiance, dt_mult = _compacted(xyz, dirs, valid)
+            _compacted_pl = jax.checkpoint(_compacted_pl)
+        sigmas, rad_planes, dt_mult = _compacted_pl(rays_o, rays_d, z, valid)
         dt_scale = dt_scale * dt_mult[:, None]
+        sigmas = sigmas * valid.astype(sigmas.dtype)
+        rgbs = tuple(rad_planes[:3])
+        masks = tuple(rad_planes[3:]) if len(rad_planes) > 3 else None
     else:
-        sigmas, radiance = apply_fn(xyz, dirs)
-    sigmas = sigmas * valid.astype(sigmas.dtype)
-    rgbs = radiance[..., :3]
-    masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
+        dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+
+        if compact_frac and compact_frac > 0.0:
+            def _compacted(xyz_, dirs_, valid_):
+                return _eval_field_compacted(
+                    apply_fn, xyz_, dirs_, valid_, compact_frac,
+                    compact_block)
+
+            if compact_remat:
+                _compacted = jax.checkpoint(_compacted)
+            sigmas, radiance, dt_mult = _compacted(xyz, dirs, valid)
+            dt_scale = dt_scale * dt_mult[:, None]
+        else:
+            sigmas, radiance = apply_fn(xyz, dirs)
+        sigmas = sigmas * valid.astype(sigmas.dtype)
+        rgbs = radiance[..., :3]
+        masks = radiance[..., 3:] if radiance.shape[-1] > 3 else None
 
     # per-sample dt = stratified spacing (the march step size) × the per-ray
     # subsample stride; const_dt composites every kept sample over its own

@@ -41,25 +41,21 @@ def block_budget(block_rays: int, n_keep: int, frac: float) -> int:
     return min(budget, block_rays * n_keep)
 
 
-def compact_blocks(valid, vals, block_rays: int, budget: int):
-    """Compact per-sample values across rays, G rays per block.
+def compact_plan(valid, block_rays: int, budget: int):
+    """Shared compaction bookkeeping (keep/slot math + one-hot build).
 
     Args:
       valid: [N, K] bool (N divisible by block_rays).
-      vals:  [N, K, C] f32 per-sample values (xyz, dirs, ... concatenated).
       block_rays: rays per block (G).
       budget: static slots per block (M).
 
     Returns:
-      vals_c: [NB, M, C] f32 — compacted values, depth-ordered within the
-        block; slots ≥ min(n_valid, M) are zero.
-      onehot: [NB, G·K, M] bf16 — the compaction matrix (kept position
-        t → slot m); pass to :func:`uncompact_blocks`.
+      onehot: [NB, G·K, M] bf16 — kept position t → slot m.
       slot_valid: [NB, M] bool — which compacted slots are live.
-      block_scale: [NB, 1] f32 — even-stride quadrature scale (≥1; 1 unless
-        the block overflowed the budget).
+      block_scale: [NB, 1] f32 — even-stride quadrature scale (≥1; 1
+        unless the block overflowed the budget).
     """
-    N, K, C = vals.shape
+    N, K = valid.shape
     G = block_rays
     assert N % G == 0, (N, G)
     NB = N // G
@@ -82,14 +78,72 @@ def compact_blocks(valid, vals, block_rays: int, budget: int):
     onehot = ((slot[..., None] == jnp.arange(budget)[None, None, :])
               & keep[..., None]).astype(jnp.bfloat16)   # [NB, G·K, M]
 
+    slot_valid = jnp.arange(budget)[None, :] < jnp.minimum(n_val, budget)
+    block_scale = jnp.maximum(n_val.astype(jnp.float32) / budget, 1.0)
+    return onehot, slot_valid, block_scale
+
+
+def compact_blocks(valid, vals, block_rays: int, budget: int):
+    """Compact per-sample values across rays, G rays per block.
+
+    Args:
+      valid: [N, K] bool (N divisible by block_rays).
+      vals:  [N, K, C] f32 per-sample values (xyz, dirs, ... concatenated).
+      block_rays: rays per block (G).
+      budget: static slots per block (M).
+
+    Returns:
+      vals_c: [NB, M, C] f32 — compacted values, depth-ordered within the
+        block; slots ≥ min(n_valid, M) are zero.
+      onehot: [NB, G·K, M] bf16 — the compaction matrix (kept position
+        t → slot m); pass to :func:`uncompact_blocks`.
+      slot_valid: [NB, M] bool — which compacted slots are live.
+      block_scale: [NB, 1] f32 — even-stride quadrature scale (≥1; 1 unless
+        the block overflowed the budget).
+    """
+    N, K, C = vals.shape
+    G = block_rays
+    NB = N // G
+    onehot, slot_valid, block_scale = compact_plan(valid, G, budget)
+
     vals_c = jax.lax.dot_general(
         onehot, vals.reshape(NB, G * K, C).astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)             # [NB, M, C]
-
-    slot_valid = jnp.arange(budget)[None, :] < jnp.minimum(n_val, budget)
-    block_scale = jnp.maximum(n_val.astype(jnp.float32) / budget, 1.0)
     return vals_c, onehot, slot_valid, block_scale
+
+
+def compact_planes(onehot, planes):
+    """Channel-major compaction: pack a sequence of [N, K] sample planes.
+
+    TPU tiling pads a materialized [NB, G·K, C] operand's C-minor to 128
+    lanes (C=6 → 21× traffic waste — see CLAUDE.md tiling discipline); the
+    channel-major form keeps G·K / M minor on every matmul operand so
+    nothing pads: [NB, P, G·K] @ [NB, G·K, M] → [NB, P, M].
+
+    Args:
+      onehot: [NB, G·K, M] bf16 from :func:`compact_plan`.
+      planes: sequence of [N, K] f32 per-sample scalar planes.
+
+    Returns [NB, P, M] f32: plane p's block-compacted slots at [:, p, :].
+    """
+    NB, GK, M = onehot.shape
+    x = jnp.stack([p.reshape(NB, GK).astype(jnp.float32) for p in planes],
+                  axis=1)                               # [NB, P, G·K]
+    return jax.lax.dot_general(
+        x, onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [NB, P, M]
+
+
+def uncompact_planes(onehot, planes_c):
+    """Channel-major scatter-back: [NB, P, M] slot planes → [NB, P, G·K]
+    (zeros at dropped/invalid positions).  Slice plane p at [:, p, :] and
+    reshape to [N, K] at the call site."""
+    return jax.lax.dot_general(
+        planes_c.astype(jnp.float32), onehot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [NB, P, G·K]
 
 
 def uncompact_blocks(onehot, vals_c):

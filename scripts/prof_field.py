@@ -12,6 +12,8 @@ NB=512 blocks, M=512 slots, B=262144 compacted samples):
   6. full field apply (encode + MLP)
   7. scatter-back matmul (uncompact_blocks)
   8. the whole _eval_field_compacted
+  9. plane-layout counterparts of 2/3/7/8 (round-5 channel-major path:
+     compact_planes / uncompact_planes / _eval_field_compacted_pl)
 
 Each stage is wrapped in a lax.scan of SPD iters/dispatch (tunnel latency
 amortization) and fed a key-jittered input so XLA cannot CSE dispatches.
@@ -39,10 +41,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from customnerf_tpu.models.field import FieldConfig, NeRFField
-    from customnerf_tpu.models.renderer import _eval_field_compacted
+    from customnerf_tpu.models.renderer import (_eval_field_compacted,
+                                                _eval_field_compacted_pl)
     from customnerf_tpu.ops.compaction import (block_budget, compact_blocks,
+                                               compact_plan, compact_planes,
                                                ray_permutation,
-                                               uncompact_blocks)
+                                               uncompact_blocks,
+                                               uncompact_planes)
     from customnerf_tpu.ops.triplane import TriplaneSpec, triplane_encode
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
@@ -167,6 +172,69 @@ def main():
             frac, G)
         return sig.sum() + rad.sum() + dtm.sum()
     timed("_eval_field_compacted (whole)", f_all)
+
+    # ---- 9. round-5 plane-layout counterparts ----------------------------
+    zk = jnp.asarray(np.sort(rng.rand(N, K).astype(np.float32) * 2.5, 1))
+    onehot0p, _, _ = compact_plan(valid, G, M)
+    planes7 = [zk] + [jnp.broadcast_to(o[:, i:i + 1], (N, K))
+                      for i in range(3)] \
+                   + [jnp.broadcast_to(d[:, i:i + 1], (N, K))
+                      for i in range(3)]
+    outp0 = jnp.asarray(rng.rand(NB, 5, M).astype(np.float32))
+
+    def f_perm_pl(k):
+        zj = zk + jax.random.normal(k, ()) * 0.0
+        return (zj[perm].sum() + o[perm].sum() + d[perm].sum()
+                + valid[perm].sum().astype(jnp.float32))
+    timed("PL perm gathers z/o/d/valid [N,K]+[N,3]", f_perm_pl)
+
+    def f_pack_pl(k):
+        zj = zk + jax.random.normal(k, ()) * 0.0
+        onehot, slot_valid, bs = compact_plan(valid, G, M)
+        pc = compact_planes(onehot, [zj] + planes7[1:])
+        return pc.sum() + slot_valid.sum().astype(jnp.float32) + bs.sum()
+    timed("PL compact_plan + compact_planes (pack)", f_pack_pl)
+
+    def f_unpack_pl(k):
+        oc = outp0 + jax.random.normal(k, ()) * 0.0
+        return uncompact_planes(onehot0p, oc).sum()
+    timed("PL uncompact_planes (scatter-back)", f_unpack_pl)
+
+    aabb6 = jnp.asarray([-2.0, -2.0, -2.0, 2.0, 2.0, 2.0], jnp.float32)
+
+    def f_all_pl(k):
+        zj = zk + jax.random.normal(k, ()) * 0.0
+        sig, rad_pl, dtm = _eval_field_compacted_pl(
+            lambda x, dd: field.apply(params, x, dd), o, d, zj, valid,
+            frac, G, aabb6)
+        return sig.sum() + sum(p.sum() for p in rad_pl) + dtm.sum()
+    timed("PL _eval_field_compacted_pl (whole)", f_all_pl)
+
+    # fwd+bwd (params-grad, the real step's gradient path: march outputs
+    # are stop-grad so the pack matmul backward is dead in both layouts)
+    def f_all_vjp(k):
+        xyzj = xyz0 + jax.random.normal(k, ()) * 0.0
+
+        def lw(p):
+            sig, rad, dtm = _eval_field_compacted(
+                lambda x, dd: field.apply(p, x, dd), xyzj, dirs0, valid,
+                frac, G)
+            return sig.sum() + rad.sum()
+        l, g = jax.value_and_grad(lw)(params)
+        return l + sum(t.sum() for t in jax.tree_util.tree_leaves(g))
+    timed("WIDE whole fwd+params-bwd", f_all_vjp)
+
+    def f_all_pl_vjp(k):
+        zj = zk + jax.random.normal(k, ()) * 0.0
+
+        def lp(p):
+            sig, rad_pl, dtm = _eval_field_compacted_pl(
+                lambda x, dd: field.apply(p, x, dd), o, d, zj, valid,
+                frac, G, aabb6)
+            return sig.sum() + sum(q.sum() for q in rad_pl)
+        l, g = jax.value_and_grad(lp)(params)
+        return l + sum(t.sum() for t in jax.tree_util.tree_leaves(g))
+    timed("PL whole fwd+params-bwd", f_all_pl_vjp)
 
 
 if __name__ == "__main__":

@@ -182,6 +182,49 @@ def test_compact_remat_is_exact():
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_compact_layout_planes_equals_wide():
+    """The round-5 channel-major plane layout (no tiny-minor-dim
+    materializations — docs/PERF.md) is numerically equivalent to the
+    round-3 wide layout: outputs and parameter gradients, in both the
+    exact (no-overflow) and overflow regimes, including the detach_bg
+    plane branch of _composite."""
+    field, params, o, d, occ, _ = _setup(n_rays=42)
+    s = RenderSettings(bound=1.0, num_steps=16, upsample_steps=0,
+                       soft_mask=True, detach_bg=True)
+    key = jax.random.PRNGKey(2)
+    target = jax.random.uniform(jax.random.PRNGKey(4), (42, 3))
+
+    for frac in (0.5, 0.15):  # 0.15 forces block overflow (even-stride)
+        kw = dict(n_coarse=32, n_keep=16, train=True, perturb=True,
+                  compact_frac=frac, compact_block=8)
+
+        def loss(p, layout):
+            out = render_rays_fast(field, p, o, d, occ, key, s,
+                                   compact_layout=layout, **kw)
+            l = (jnp.mean((out["image"] - target) ** 2)
+                 + jnp.mean(out["render_mask"] ** 2)
+                 + jnp.mean(out["bg"]["image"] ** 2))
+            return l, out
+
+        (lw, ow), gw = jax.value_and_grad(loss, has_aux=True)(params, "wide")
+        (lp, op_), gp = jax.value_and_grad(loss, has_aux=True)(params,
+                                                               "planes")
+        for k in ("image", "depth", "weights_sum", "render_mask"):
+            np.testing.assert_allclose(np.asarray(op_[k]), np.asarray(ow[k]),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{k} frac={frac}")
+        for side in ("fg", "bg"):
+            np.testing.assert_allclose(np.asarray(op_[side]["image"]),
+                                       np.asarray(ow[side]["image"]),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{side} frac={frac}")
+        np.testing.assert_allclose(float(lp), float(lw), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gw),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-5, atol=1e-6)
+
+
 def test_compacted_render_ray_count_not_divisible_by_block():
     """N % compact_block != 0 exercises the edge-replicate ray padding
     inside _eval_field_compacted (zero-padding would NaN the grads — the
