@@ -185,13 +185,15 @@ def main():
     # n_keep sweep; 32 keep measures faster but fails the gate).  The
     # flagship also enables cross-ray compaction (--compact_frac 0.4,
     # quality-gated on the same full bear run — docs/PERF.md).
-    def fast(field, p, key, o, d, n_keep=40, occ_state=None, frac=0.4):
+    def fast(field, p, key, o, d, n_keep=40, occ_state=None, frac=0.4,
+             layout="planes"):
         return render_rays_fast(field, p, o, d,
                                 occ_state if occ_state is not None else occ,
                                 key, fast_settings,
                                 n_coarse=2 * n_keep, n_keep=n_keep,
                                 train=True, perturb=True,
-                                compact_frac=frac, compact_block=32)
+                                compact_frac=frac, compact_block=32,
+                                compact_layout=layout)
 
     def dense(field, p, key, o, d):
         return render_rays(field, p, o, d, key, dense_settings,
@@ -266,6 +268,14 @@ def main():
             lambda f, p, key, o, d: fast(f, p, key, o, d, frac=0.0),
             "fast(-O) triplane keep40 realistic-fill, compaction OFF")
 
+    def wide_layout():
+        # round-3 [N, K, C] compaction layout (A/B vs the round-5 planes
+        # default — the headline above)
+        run(field_tri, params_tri,
+            lambda f, p, key, o, d: fast(f, p, key, o, d, layout="wide"),
+            f"fast(-O) triplane keep40 compact-layout WIDE @{n_rays} rays",
+            n=n_rays)
+
     def dense_fill():
         run(field_tri, params_tri,
             lambda f, p, key, o, d: fast(f, p, key, o, d, occ_state=occ_dense,
@@ -307,6 +317,7 @@ def main():
               file=sys.stderr)
 
     if on_accel:
+        diag(wide_layout, "wide-layout")
         diag(no_compact, "no-compact")
         diag(dense_fill, "dense-fill")
         diag(keep64_tri, "keep64-triplane")

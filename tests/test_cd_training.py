@@ -7,6 +7,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def make_concept_images(d, n=3, size=64):
     os.makedirs(d, exist_ok=True)

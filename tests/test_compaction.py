@@ -19,6 +19,8 @@ from customnerf_tpu.ops.compaction import (block_budget, compact_blocks,
 from customnerf_tpu.ops.grid import GridSpec
 from customnerf_tpu.ops.occupancy import init_state, state_from_grid
 
+import pytest
+
 
 def _setup(n_rays=40, occupied_frac=0.3, seed=0):
     rng = np.random.RandomState(seed)
@@ -87,6 +89,7 @@ def test_block_budget_rounding():
     assert block_budget(4, 8, 0.1) == 32      # min(128, G·K) cap
 
 
+@pytest.mark.slow
 def test_compacted_render_matches_plain_when_no_overflow():
     field, params, o, d, occ, s = _setup()
 
@@ -101,6 +104,7 @@ def test_compacted_render_matches_plain_when_no_overflow():
                                    rtol=2e-5, atol=2e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_compacted_render_grads_match():
     field, params, o, d, occ, s = _setup(n_rays=24)
     key = jax.random.PRNGKey(3)
@@ -123,6 +127,7 @@ def test_compacted_render_grads_match():
                                    rtol=5e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_compacted_render_overflow_is_finite_and_close():
     """A tiny budget forces every block to overflow: outputs stay finite,
     weights bounded, and the even-stride + dt-scale quadrature keeps the
@@ -182,6 +187,7 @@ def test_compact_remat_is_exact():
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_compact_layout_planes_equals_wide():
     """The round-5 channel-major plane layout (no tiny-minor-dim
     materializations — docs/PERF.md) is numerically equivalent to the
@@ -225,6 +231,7 @@ def test_compact_layout_planes_equals_wide():
                                        rtol=5e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_compacted_render_ray_count_not_divisible_by_block():
     """N % compact_block != 0 exercises the edge-replicate ray padding
     inside _eval_field_compacted (zero-padding would NaN the grads — the

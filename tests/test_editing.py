@@ -14,6 +14,8 @@ from customnerf_tpu.guidance.sds import StableDiffusionGuidance
 from customnerf_tpu.guidance.unet import UNet2DCondition, UNetConfig
 from customnerf_tpu.guidance.vae import AutoencoderKL, VAEConfig
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 class TinyGuidance(StableDiffusionGuidance):
     """Same plumbing, toy-size UNet/VAE/text so CPU tests run in seconds."""

@@ -12,6 +12,8 @@ from customnerf_tpu.data.base import NeRFDataset
 from customnerf_tpu.engine.trainer import Trainer
 from test_editing import TinyGuidance
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def _opt(ws, **kw):
     base = dict(

@@ -28,6 +28,8 @@ from customnerf_tpu.data.base import NeRFDataset
 from customnerf_tpu.engine.trainer import Trainer
 from test_editing import TinyGuidance
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 _COMMON = dict(
     data_type="synthetic", num_steps=8, upsample_steps=4, soft_mask=True,
     grid_levels=4, log2_hashmap_size=10, desired_resolution=32,

@@ -44,6 +44,7 @@ def test_timestep_embedding_shape_and_range():
     assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[2]))
 
 
+@pytest.mark.slow
 def test_unet_shapes_and_determinism(unet):
     model, params = unet
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
@@ -124,6 +125,7 @@ def test_ddpm_schedule_matches_diffusers_formula():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sds_gradient_identity():
     """dL/dlatents must equal w·(ε̂−ε)·λ (the defining SDS property;
     reference sd.py:145-152)."""
@@ -204,6 +206,7 @@ def test_cd_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded_tok["<new1>"], tok["<new1>"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_clip_scores(monkeypatch):
     """CLIP score + directional score machinery (paper Table-1 analog) on a
     tiny random-weight CLIP."""

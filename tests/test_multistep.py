@@ -7,6 +7,10 @@ from customnerf_tpu.config import Config
 from customnerf_tpu.data.base import NeRFDataset
 from customnerf_tpu.engine.trainer import Trainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def _cfg(ws, **kw):
     return Config(data_type="synthetic", workspace=ws, iters=400, lr=1e-2,

@@ -139,6 +139,7 @@ def test_shape_mismatch_keeps_fresh_grid(trained_occ, occ_opt, capsys):
     assert float(np.asarray(trainer2.occ_state.density_grid).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_compact_frac_autotune(tmp_path):
     """--compact_frac -1: after occupancy warmup the trainer measures the
     slab fill and locks a concrete frac (reference mean_count-adaptive

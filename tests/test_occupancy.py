@@ -16,6 +16,10 @@ from customnerf_tpu.ops.occupancy import (
     update_grid,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def test_packbits_bit_order():
     grid = jnp.zeros((1, 16), jnp.float32).at[0, 0].set(5.0).at[0, 9].set(5.0)

@@ -7,6 +7,8 @@ import pytest
 
 from customnerf_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def test_make_mesh_specs():
     assert make_mesh("") is None

@@ -28,6 +28,7 @@ def setup():
     return field, params, s, jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.slow
 def test_output_keys_and_shapes(setup):
     field, params, s, o, d = setup
     out = render_rays(field, params, o, d, jax.random.PRNGKey(1), s, train=True,
@@ -64,6 +65,7 @@ def test_deterministic_without_perturb(setup):
     np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_detach_bg_blocks_gradients():
     """With detach_bg and conf→0 everywhere (non-edit), the *full* image loss
     must push no gradient into sigma/rgb producers except via the mask head

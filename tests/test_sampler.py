@@ -6,6 +6,10 @@ import numpy as np
 
 from customnerf_tpu.guidance.sampler import ddim_sample
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def test_ddim_sample_tiny():
     from tests.test_cd_training import tiny_sd  # fixture factory not needed

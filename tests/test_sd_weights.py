@@ -219,6 +219,7 @@ def test_unet_converter_contract_sd2_style():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_unet_per_block_heads_change_attention():
     """Head counts must be wired into the attention math: identical params
     under different head partitions give different outputs (a dead

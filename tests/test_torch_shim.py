@@ -12,6 +12,10 @@ from customnerf_tpu.engine.torch_shim import (
 from customnerf_tpu.models.field import FieldConfig, NeRFField
 from customnerf_tpu.ops.grid import GridSpec
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 BEAR_GRID = GridSpec(num_levels=16, level_dim=2, base_resolution=16,
                      log2_hashmap_size=21, desired_resolution=8192,
                      gridtype="tiled")

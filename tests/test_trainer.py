@@ -13,6 +13,8 @@ from customnerf_tpu.config import Config
 from customnerf_tpu.data.base import NeRFDataset
 from customnerf_tpu.engine.trainer import Trainer, max_epochs_for
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def tiny_opt(tmp_path_factory):

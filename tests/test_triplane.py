@@ -36,6 +36,7 @@ def test_forward_matches_numpy_oracle():
     np.testing.assert_array_equal(got[-1], 0.0)
 
 
+@pytest.mark.slow
 def test_matmul_backward_matches_scatter_autodiff():
     spec = _spec()
     table = triplane_init(jax.random.PRNGKey(0), spec)
@@ -59,6 +60,7 @@ def test_matmul_backward_matches_scatter_autodiff():
     np.testing.assert_array_equal(np.asarray(dx_mm)[-1], 0.0)
 
 
+@pytest.mark.slow
 def test_per_level_channels_oracle_and_backward():
     """channels=(Cmax, Cfine) layout: forward matches the NumPy oracle and
     the matmul backward (run at each level's OWN width — the R²·C flops
@@ -94,6 +96,7 @@ def test_per_level_channels_oracle_and_backward():
     np.testing.assert_array_equal(fine_rows[:, 2:], 0.0)
 
 
+@pytest.mark.slow
 def test_backward_chunking_pads_correctly():
     # B not a multiple of bwd_chunk exercises the zero-padded tail
     spec = _spec(bwd_chunk=16)
@@ -109,6 +112,7 @@ def test_backward_chunking_pads_correctly():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_banded_backward_matches_scatter_autodiff():
     """bwd="banded" (bucket-compacted band matmul) ≡ scatter autodiff, with
     the fine level banded (16 % 4 == 0) and the 17-res level falling back
@@ -136,6 +140,7 @@ def test_banded_backward_matches_scatter_autodiff():
     np.testing.assert_array_equal(np.asarray(dx_b)[-1], 0.0)
 
 
+@pytest.mark.slow
 def test_banded_backward_overflow_and_cond_fallback_exact():
     """Skewed samples force (a) the sub-block overflow reroute (slot ≥ q)
     and (b) with q_ov tiny, the lax.cond full-width fallback — the gradient
@@ -162,6 +167,7 @@ def test_banded_backward_overflow_and_cond_fallback_exact():
             err_msg=f"banded {label} path diverged from scatter autodiff")
 
 
+@pytest.mark.slow
 def test_field_with_triplane_trains():
     import optax
 

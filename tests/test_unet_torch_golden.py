@@ -25,6 +25,8 @@ from customnerf_tpu.guidance.weights import convert_unet, convert_vae
 
 from torch_sd_mirror import TorchUNet, TorchVAE
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 def _randomize(module: torch.nn.Module, seed: int):
     """Perturb every parameter (incl. norm scales off 1 / biases off 0 —

@@ -17,6 +17,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def tiny_sd():
