@@ -153,8 +153,17 @@ def test_cli_accepts_compact_flags():
     opt = parse_args(["--compact_frac", "0.5", "--compact_block", "8",
                       "--workspace", "/tmp/x"])
     assert opt.compact_frac == 0.5 and opt.compact_block == 8
+    assert opt.compact_layout == "planes"
+    opt2 = parse_args(["--compact_layout", "wide", "--workspace", "/tmp/x"])
+    assert opt2.compact_layout == "wide"
     try:
         parse_args(["--compact_frac", "1.5", "--workspace", "/tmp/x"])
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    try:
+        parse_args(["--compact_layout", "diagonal", "--workspace", "/tmp/x"])
         raised = False
     except ValueError:
         raised = True
