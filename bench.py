@@ -63,7 +63,48 @@ def _enable_compile_cache():
         pass
 
 
+def _probe_backend_or_fallback():
+    """The axon TPU plugin HANGS retrying when the tunnel is down (hours-long
+    outages observed) — jax.devices() then never returns (and holds the GIL,
+    so an in-process watchdog thread starves) and the driver's timeout would
+    kill bench.py with no artifact (the round-4 lost-record failure mode, by
+    a different path).  Probe backend init in a SUBPROCESS with a hard
+    timeout; if it never comes up, emit the last successful headline (marked
+    "stale": true) and exit 0 so the round keeps a machine-readable record.
+    """
+    import subprocess
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+    try:
+        # device ENUMERATION can succeed while the tunnel's compile/execute
+        # service is wedged (observed) — probe an actual tiny computation
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float(jnp.ones((8, 128)).sum()) == 1024.0"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return
+    except subprocess.TimeoutExpired:
+        reason = f"tpu backend init exceeded {timeout_s:.0f}s (tunnel down)"
+    except subprocess.CalledProcessError as e:
+        reason = f"backend probe failed rc={e.returncode}"
+    print(f"[bench] {reason}", file=sys.stderr)
+    try:
+        with open("BENCH_LAST_GOOD.json") as f:
+            out = json.load(f)
+        out["stale"] = True
+        out["stale_reason"] = reason
+        print(json.dumps(out), flush=True)
+    except OSError:
+        print("[bench] no BENCH_LAST_GOOD.json to fall back to",
+              file=sys.stderr)
+    sys.exit(0)
+
+
 def main():
+    _probe_backend_or_fallback()
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -221,6 +262,12 @@ def main():
         "vs_baseline": round(headline / baseline, 4),
     }
     print(json.dumps(out), flush=True)
+    if on_accel:
+        try:
+            with open("BENCH_LAST_GOOD.json", "w") as f:
+                json.dump(out, f)
+        except OSError:
+            pass
 
     # ---- diagnostics (budget-gated, best-effort) --------------------------
     def diag(fn, tag, need_s=120.0):
