@@ -127,7 +127,8 @@ def main():
     # TPU-idiomatic regime; per-ray work is identical to the quality-gated
     # bear config.  Diagnostics keep the 4096-ray shape comparable with the
     # round-1/2/3 tables in docs/PERF.md.
-    n_rays = 16384 if on_accel else 128
+    n_rays = int(os.environ.get("BENCH_NRAYS", 0)) or (
+        16384 if on_accel else 128)
     n_rays_diag = 4096 if on_accel else 128
     iters = 3 if on_accel else 1          # dispatches; each scans spd steps
     spd = 8 if on_accel else 2            # steps per dispatch (lax.scan)
