@@ -8,7 +8,7 @@ amortizes out, exactly like the trainer's --steps_per_dispatch path.
 
 Usage:  python scripts/prof_flagship.py [n_rays ...]   (default 16384)
 Env:    PROF_KEEP=40 PROF_FRAC=0.4 PROF_BLOCK=32 PROF_CHANNELS=16,8
-        PROF_RES=128,512 PROF_SPD=8 PROF_PACK_SPAN=7
+        PROF_RES=128,512 PROF_SPD=8 PROF_PACK_SPAN=7 PROF_LAYOUT=planes|wide
 """
 
 import os
@@ -49,6 +49,7 @@ def main():
     res = tuple(int(r) for r in
                 os.environ.get("PROF_RES", "128,512").split(","))
     span = int(os.environ.get("PROF_PACK_SPAN", 7))
+    layout = os.environ.get("PROF_LAYOUT", "planes")
     ray_counts = [int(a) for a in sys.argv[1:]] or [16384]
     n_coarse = 2 * n_keep
 
@@ -159,7 +160,8 @@ def main():
             out = render_rays_fast(field, p, o, d, occ, k, s,
                                    n_coarse=n_coarse, n_keep=n_keep,
                                    train=True, perturb=True,
-                                   compact_frac=frac, compact_block=block)
+                                   compact_frac=frac, compact_block=block,
+                                   compact_layout=layout)
             loss = jnp.mean((out["image"] - target) ** 2)
             loss += 0.01 * jnp.mean((out["render_mask"][..., 0] - tmask) ** 2)
             return loss
