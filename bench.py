@@ -63,6 +63,24 @@ def _enable_compile_cache():
         pass
 
 
+def _print_stale_fallback(reason):
+    """Emit the last successful headline (marked stale) so the round keeps a
+    machine-readable record even when the chip is unreachable.  Returns True
+    if a line was printed."""
+    print(f"[bench] {reason}", file=sys.stderr)
+    try:
+        with open("BENCH_LAST_GOOD.json") as f:
+            out = json.load(f)
+        out["stale"] = True
+        out["stale_reason"] = reason
+        print(json.dumps(out), flush=True)
+        return True
+    except OSError:
+        print("[bench] no BENCH_LAST_GOOD.json to fall back to",
+              file=sys.stderr)
+        return False
+
+
 def _probe_backend_or_fallback():
     """The axon TPU plugin HANGS retrying when the tunnel is down (hours-long
     outages observed) — jax.devices() then never returns (and holds the GIL,
@@ -74,6 +92,8 @@ def _probe_backend_or_fallback():
     """
     import subprocess
 
+    if os.environ.get("BENCH_SKIP_PROBE"):   # testing: exercise supervisor
+        return
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
     try:
         # device ENUMERATION can succeed while the tunnel's compile/execute
@@ -89,22 +109,93 @@ def _probe_backend_or_fallback():
         reason = f"tpu backend init exceeded {timeout_s:.0f}s (tunnel down)"
     except subprocess.CalledProcessError as e:
         reason = f"backend probe failed rc={e.returncode}"
-    print(f"[bench] {reason}", file=sys.stderr)
-    try:
-        with open("BENCH_LAST_GOOD.json") as f:
-            out = json.load(f)
-        out["stale"] = True
-        out["stale_reason"] = reason
-        print(json.dumps(out), flush=True)
-    except OSError:
-        print("[bench] no BENCH_LAST_GOOD.json to fall back to",
-              file=sys.stderr)
+    _print_stale_fallback(reason)
     sys.exit(0)
 
 
 def main():
-    _probe_backend_or_fallback()
+    """Supervisor: probe the tunnel, then run the real bench in a CHILD
+    process under hard deadlines.
 
+    The wedge mode observed in round 5 is the dangerous one: the probe can
+    SUCCEED and the tunnel wedge moments later, mid-compile — the hang holds
+    the GIL, so no in-process watchdog can fire, and the driver's timeout
+    would kill bench.py with nothing on stdout (the round-4 lost-record
+    failure, by a new path).  A supervisor process holds no JAX state and
+    cannot wedge: it streams the child's stdout, watches for the headline
+    JSON line, and on deadline kills the child (exact PID) and falls back to
+    the stale headline — rc=0 and one parseable line in every outcome.
+    """
+    import subprocess
+    import threading
+
+    _probe_backend_or_fallback()
+    if os.environ.get("BENCH_NO_SUPERVISE"):
+        return _bench_main()
+
+    headline_deadline = float(
+        os.environ.get("BENCH_HEADLINE_DEADLINE_S", "1200"))
+    total_deadline = _BUDGET_S + float(
+        os.environ.get("BENCH_TOTAL_GRACE_S", "300"))
+
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--run"],
+        stdout=subprocess.PIPE, text=True)
+    saw_json = threading.Event()
+
+    def pump():
+        for line in child.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            s = line.strip()
+            if s.startswith("{") and '"metric"' in s:
+                saw_json.set()
+
+    pump_t = threading.Thread(target=pump, daemon=True)
+    pump_t.start()
+
+    def kill_child(reason):
+        print(f"[bench] supervisor: killing bench child ({reason})",
+              file=sys.stderr)
+        try:
+            child.kill()
+            child.wait(timeout=30)
+        except Exception:
+            pass
+        pump_t.join(timeout=10)
+
+    start = time.monotonic()
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            pump_t.join(timeout=10)
+            break
+        elapsed = time.monotonic() - start
+        if not saw_json.is_set() and elapsed > headline_deadline:
+            kill_child(f"no headline within {headline_deadline:.0f}s — "
+                       "mid-bench tunnel wedge?")
+            if not saw_json.is_set():
+                _print_stale_fallback(
+                    f"bench hung before headline ({headline_deadline:.0f}s); "
+                    "tunnel wedged mid-run")
+            sys.exit(0)
+        if elapsed > total_deadline:
+            kill_child(f"total deadline {total_deadline:.0f}s exceeded")
+            if not saw_json.is_set():
+                _print_stale_fallback(
+                    f"bench exceeded total deadline {total_deadline:.0f}s")
+            sys.exit(0)
+        time.sleep(2)
+
+    if saw_json.is_set() or rc == 0:
+        sys.exit(0)
+    # child died early with nothing on stdout (e.g. import error): surface it
+    if _print_stale_fallback(f"bench child exited rc={rc} with no headline"):
+        sys.exit(0)
+    sys.exit(rc)
+
+
+def _bench_main():
     import jax
     import jax.numpy as jnp
     import optax
@@ -496,4 +587,7 @@ def bench_editing():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv[1:]:
+        _bench_main()          # child: the actual measurement process
+    else:
+        main()                 # supervisor (probe + deadlines + fallback)
