@@ -138,9 +138,13 @@ def main():
     total_deadline = _BUDGET_S + float(
         os.environ.get("BENCH_TOTAL_GRACE_S", "300"))
 
-    child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--run"],
-        stdout=subprocess.PIPE, text=True)
+    # BENCH_FAKE_CHILD (testing): a python -c body standing in for the real
+    # bench child, so the supervisor's deadline/fallback paths are testable
+    # offline (tests/test_bench_supervisor.py)
+    fake = os.environ.get("BENCH_FAKE_CHILD")
+    argv = ([sys.executable, "-c", fake] if fake
+            else [sys.executable, os.path.abspath(__file__), "--run"])
+    child = subprocess.Popen(argv, stdout=subprocess.PIPE, text=True)
     saw_json = threading.Event()
 
     def pump():

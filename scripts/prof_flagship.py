@@ -187,7 +187,11 @@ def main():
             return loss, optax.apply_updates(p, updates), os2
         return f
 
+    stages = os.environ.get("PROF_STAGES", "all")  # "all" | "step"
     for n in ray_counts:
+        if stages == "step":
+            timed("full step (fwd+bwd+adam)", step_body, n)
+            continue
         t_march = timed("march only", march_body, n)
         t_fieldc = timed("compact pack + field eval + scatter", fieldc_body, n)
         t_fwd = timed("full forward (loss)", fwd_body, n)
