@@ -551,8 +551,21 @@ class Trainer:
         # the flagship's 0.4/0.32 ≈ 1.25 margin).  Dense slabs (>60%) gain
         # nothing from pack/unpack matmuls — disable instead.
         frac = 0.0 if fill > 0.6 else float(min(1.0, max(0.05, fill * 1.3)))
+        if frac > 0.0:
+            # Snap the implied per-block budget to the NEAREST 128-lane
+            # multiple: block_budget() ceils, which at e.g. G=32·K=40
+            # silently inflates 1.3× headroom to ~1.6× (fill 0.32 → frac
+            # 0.41 → budget 640 vs the quality-gated 512).  Never snap
+            # below 1.1× fill — that margin is what the overflow fallback's
+            # quality gating assumed.
+            n_total = max(self.opt.num_steps + self.opt.upsample_steps, 2)
+            gk = self.opt.compact_block * n_total
+            snapped = max(128, int(round(frac * gk / 128.0)) * 128)
+            if snapped < fill * 1.1 * gk:
+                snapped = max(128, -(-int(np.ceil(frac * gk)) // 128) * 128)
+            frac = float(min(1.0, snapped / gk))
         self.log(f"[INFO] compaction auto-tune: measured slab fill "
-                 f"{fill:.3f} → --compact_frac {frac:.2f}")
+                 f"{fill:.3f} → --compact_frac {frac:.3f}")
         self.opt.compact_frac = frac
         for k in ("pretrain", "multi", "render_frame", "editing",
                   "editing_many", "fill_probe"):

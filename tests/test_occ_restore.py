@@ -183,3 +183,40 @@ def test_measure_slab_fill_bounds(tmp_path):
     trainer.update_extra_state()  # warmup grid: everything occupied
     fill = trainer.measure_slab_fill(loader.item(0))
     assert 0.0 <= fill <= 1.0
+
+
+def test_compact_frac_autotune_lane_snap(tmp_path, monkeypatch):
+    """The auto-tuned frac snaps its implied per-block budget to the
+    NEAREST 128-lane multiple instead of block_budget's ceil: at
+    G=32·K=40, fill 0.32 → 1.3×fill = 0.416 → raw budget 532.5 would
+    ceil to 640 (≈1.6× headroom); the snap locks 512 — the quality-gated
+    flagship budget — while 1.1×fill·G·K = 450.6 stays covered."""
+    from customnerf_tpu.ops.compaction import block_budget
+
+    opt = Config(
+        data_type="synthetic", workspace=str(tmp_path), O=True, iters=10,
+        num_steps=32, upsample_steps=8, train_size=2, occ_grid_size=32,
+        compact_frac=-1, compact_block=32,
+        grid_levels=4, log2_hashmap_size=10, desired_resolution=32,
+        grid_base_resolution=4, use_ckpt="scratch", h=16, w=16,
+    )
+    trainer = Trainer("df", opt, use_checkpoint="scratch")
+    loader = NeRFDataset(opt, type="train").dataloader()
+    for _ in range(6):
+        trainer.update_extra_state()  # past WARMUP_UPDATES
+    monkeypatch.setattr(trainer, "measure_slab_fill", lambda batch: 0.32)
+    trainer._autotune_compaction(loader)
+    assert opt.compact_frac == pytest.approx(512 / 1280)
+    assert block_budget(32, 40, opt.compact_frac) == 512
+
+    # the 1.1×fill guard: across the whole fill range the snapped budget
+    # must never land below the margin the overflow quality-gating assumed
+    for fill in np.linspace(0.05, 0.6, 23):
+        monkeypatch.setattr(trainer, "measure_slab_fill",
+                            lambda batch, f=fill: float(f))
+        opt.compact_frac = -1
+        trainer._autotune_compaction(loader)
+        if opt.compact_frac > 0:
+            budget = block_budget(32, 40, opt.compact_frac)
+            assert budget >= min(1.1 * fill * 1280, 1280) - 1e-6, (
+                fill, opt.compact_frac, budget)
