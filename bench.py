@@ -320,16 +320,18 @@ def _bench_main():
     # trainer's fast-path ratio).  Bear-fixture quality gate at this budget:
     # 25.15 dB vs 25.55 parity anchor — inside the ±0.5 dB band (PERF.md
     # n_keep sweep; 32 keep measures faster but fails the gate).  The
-    # flagship also enables cross-ray compaction (--compact_frac 0.4,
-    # quality-gated on the same full bear run — docs/PERF.md).
-    def fast(field, p, key, o, d, n_keep=40, occ_state=None, frac=0.4,
+    # flagship also enables cross-ray compaction (--compact_frac 0.35
+    # --compact_block 64 = 14 slots/ray, gated at 25.34 dB on the full bear
+    # run; 12 slots/ray fails by 0.01 dB — docs/PERF.md round-5 budget
+    # quantization section).
+    def fast(field, p, key, o, d, n_keep=40, occ_state=None, frac=0.35,
              layout="planes"):
         return render_rays_fast(field, p, o, d,
                                 occ_state if occ_state is not None else occ,
                                 key, fast_settings,
                                 n_coarse=2 * n_keep, n_keep=n_keep,
                                 train=True, perturb=True,
-                                compact_frac=frac, compact_block=32,
+                                compact_frac=frac, compact_block=64,
                                 compact_layout=layout)
 
     def dense(field, p, key, o, d):
@@ -487,7 +489,7 @@ def bench_editing():
         i.e. 57×42 = 2394-ray full-image steps (VERDICT r4 weak #3).
     Modes: split 3-program step (render→latents / UNet ε / surrogate bwd,
     3 dispatches) vs fused scan (``editing_steps_many``, K steps/dispatch,
-    render once, UNet inline), with cross-ray compaction 0.4 on the fused
+    render once, UNet inline), with cross-ray compaction 0.35/64 on the fused
     path unless BENCH_SKIP_EDIT_COMPACT=1 (compaction is the recommended
     editing config — docs/PERF.md "Editing + compaction").
 
@@ -517,7 +519,7 @@ def bench_editing():
             text="a corgi", text_fg="a corgi", grid_type="triplane",
             num_steps=40, upsample_steps=0, train_size=8, h=h, w=w)
         if compact:
-            opt.compact_frac, opt.compact_block = 0.4, 32
+            opt.compact_frac, opt.compact_block = 0.35, 64
         guidance = StableDiffusionGuidance(opt)
         trainer = Trainer("bench_edit", opt, guidance=guidance,
                           use_checkpoint="scratch")
@@ -567,11 +569,11 @@ def bench_editing():
     # iters/s).  BENCH_SKIP_EDIT_COMPACT=1 opts out.
     if (not os.environ.get("BENCH_SKIP_EDIT_COMPACT")
             and _remaining() > 180):
-        opt.compact_frac, opt.compact_block = 0.4, 32
+        opt.compact_frac, opt.compact_block = 0.35, 64
         trainer._compiled.pop("editing_many", None)  # force a re-build
         t0c = time.perf_counter()
         res["fused_compact_128"] = run_fused(23)
-        print(f"[bench] editing fused scan + compaction 0.4: "
+        print(f"[bench] editing fused scan + compaction 0.35/64: "
               f"{res['fused_compact_128']:.3f} iters/s "
               f"(incl. compile {time.perf_counter() - t0c:.0f}s in stage)",
               file=sys.stderr)

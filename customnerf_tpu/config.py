@@ -207,7 +207,11 @@ class Config:
                                    # (the reference's mean_count-adaptive
                                    # march-buffer sizing, raymarching.py:
                                    # 196-233, as a static-shape analog).
-    compact_block: int = 16        # rays per compaction block
+    compact_block: int = 64        # rays per compaction block (64 = the
+                                   # gated flagship: pooled overflow stats
+                                   # beat smaller blocks at equal budget,
+                                   # and the 128-slot budget quantization
+                                   # gets 0.05-frac granularity)
     compact_layout: str = "planes"  # compacted-eval tensor layout:
                                    # "planes" = channel-major scalar planes
                                    # (no tiny-minor-dim materializations —

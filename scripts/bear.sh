@@ -4,9 +4,10 @@
 #
 # DEFAULT field config: the quality-gated TPU flagship — -O occupancy fast
 # path, tri-plane (128,512)x(16,8), 40 kept samples/ray, cross-ray
-# compaction 0.4 — ~217k rays/s/chip on a v5e and 25.25 dB on the
-# bear-class fixture, within ±0.5 dB of the reference-parity field
-# (docs/PERF.md).  This is what a user copying the recipe should run.
+# compaction 0.35 over 64-ray blocks — ~283k rays/s/chip on a v5e and
+# 25.34 dB on the bear-class fixture, within ±0.5 dB of the
+# reference-parity field (docs/PERF.md).  This is what a user copying the
+# recipe should run.
 #
 # Pass --parity as the FIRST argument for the exact reference field +
 # macro flags (tiledgrid 16x2 @ log2 21/8192, -O2 dense two-pass render):
@@ -16,7 +17,7 @@ set -e
 
 MODE_FLAGS=(-O --grid_type triplane --triplane_res 128 512
             --triplane_channels 16 8 --num_steps 40 --upsample_steps 0
-            --compact_frac 0.4 --compact_block 32)
+            --compact_frac 0.35 --compact_block 64)
 SUFFIX=""
 if [ "${1:-}" == "--parity" ]; then
   shift

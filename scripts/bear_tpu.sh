@@ -5,14 +5,16 @@
 #   * -O occupancy fast path
 #   * tri-plane field (128,512)x(16,8)  (25.25 dB on the bear-class fixture
 #     vs 25.55 for the reference-parity 16x2 grid — inside +-0.5 dB)
-#   * 40 kept samples/ray, cross-ray compaction 0.4 over 32-ray blocks
-# ~217k rays/s/chip train step on a v5e (vs 1.3k for the parity grid).
+#   * 40 kept samples/ray, cross-ray compaction 0.35 over 64-ray blocks
+#     (14 slots/ray — the measured quality/throughput knee: 25.34 dB and
+#     +10% over the round-4 0.4/32 setting; 12 slots/ray fails the gate)
+# ~283k rays/s/chip train step on a v5e (vs 1.3k for the parity grid).
 set -e
 
 DATA=${1:-/data/bear}
 TPU_FLAGS=(--grid_type triplane --triplane_res 128 512
            --triplane_channels 16 8 --num_steps 40 --upsample_steps 0
-           --compact_frac 0.4 --compact_block 32)
+           --compact_frac 0.35 --compact_block 64)
 
 # phase 1: reconstruction with mask channel
 python main.py -O \
